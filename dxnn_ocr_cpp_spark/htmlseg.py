@@ -1,0 +1,291 @@
+"""Stage-1 core: streaming DOM segmentation of raw HTML bytes.
+
+Pure Python, no Spark imports — this module is the "model" that the
+stage-1 pandas UDF (operators/segment.py) runs per Arrow batch, the
+analog of the reference's DBNet detection inference + DB postprocess
+(/root/reference/src/detection/text_detector.cpp,
+ /root/reference/src/detection/db_postprocess.cpp:28-130).
+
+Design rules (north rule: byte-identical output per url, independent of
+partitioning/parallelism):
+  * single-pass SAX-style parse (stdlib html.parser) — O(n), no tree,
+    no iteration-order ambiguity;
+  * every policy (charset fallback, whitespace collapse, block
+    boundaries) is fixed and documented here, used by pipeline AND
+    tests;
+  * each text node is assigned to exactly one block (the innermost open
+    block context), so ancestor/descendant double-emission (reference
+    dedupe D13/D14, geometry.cpp:184-201) cannot occur by construction.
+
+Block model (the TextBox analog, /root/reference/include/common/types.hpp:13-53):
+  block_id   0-based emission ordinal (contour index analog)
+  tag        the block-level tag owning the text run
+  tag_path   'html/body/div[1]/p[3]'-style path with 1-based sibling idx
+  depth      open-element depth at block start
+  pos        global start-tag counter at block start — the document-order
+             sort key (analog of (y, x) reading order,
+             /root/reference/src/pipeline/ocr_pipeline.cpp:180-200)
+  text_raw   raw accumulated character data (un-normalized)
+  n_text_chars / n_link_chars / n_tags   stage-2 features
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# --- charset sniffing (input normalization, analog of doc preprocessing,
+# /root/reference/src/pipeline/document_preprocessing.cpp:94-175) ---
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-.:]+)", re.IGNORECASE)
+
+# Whitelist of decodable charsets -> canonical python codec. Anything
+# else (absent, bogus) falls back to utf-8 with U+FFFD replacement —
+# the deterministic "pad color" policy (ref pads with gray 114,
+# text_detector.cpp:175-225; our pad is the replacement char).
+_CHARSET_WHITELIST = {
+    "utf-8": "utf-8", "utf8": "utf-8", "ascii": "utf-8",
+    "us-ascii": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-1": "cp1252", "latin-1": "cp1252", "latin1": "cp1252",
+}
+
+
+def decode_html(raw: bytes, sniff_bytes: int = 2048) -> tuple[str, str]:
+    """bytes -> (unicode text, charset label used). Deterministic."""
+    if raw.startswith(codecs.BOM_UTF8):
+        return raw[len(codecs.BOM_UTF8):].decode("utf-8", "replace"), "utf-8-bom"
+    m = _CHARSET_RE.search(raw[:sniff_bytes])
+    if m:
+        declared = m.group(1).decode("ascii", "replace").lower()
+        codec = _CHARSET_WHITELIST.get(declared)
+        if codec:
+            return raw.decode(codec, "replace"), codec
+        # declared but unknown -> fixed fallback, flagged
+        return raw.decode("utf-8", "replace"), "fallback-utf-8"
+    return raw.decode("utf-8", "replace"), "utf-8"
+
+
+# --- text normalization (stage-3 / CTC-decode analog) ---
+# C2 dedupe-consecutive analog: collapse whitespace runs (incl. the NBSP
+# family) to one space. C3 blank-removal analog: strip zero-width /
+# control / bidi-format chars. This function is THE canonical
+# normalization -- pipeline, goldens and tests all call it; it runs only
+# inside the stage-1 UDF, never re-implemented in Java regex, so there
+# is a single source of truth for byte-identity (SURVEY 7.3).
+_CTRL_RE = re.compile(
+    "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f"  # C0/C1 (keep \t\n\r)
+    "\u200b-\u200f\u202a-\u202e\u2060-\u2064\ufeff\u00ad]"   # ZW*/bidi/WJ/BOM/SHY
+)
+_WS_RE = re.compile("[\\s\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+")
+
+
+def normalize_text(s: str) -> str:
+    s = _CTRL_RE.sub("", s)
+    s = _WS_RE.sub(" ", s)
+    return s.strip()
+
+
+# --- the segmenter ---
+
+# Block-level elements: opening/closing one flushes the current text
+# run into a block (connected-component boundary analog, D2).
+BLOCK_TAGS = frozenset(
+    """p h1 h2 h3 h4 h5 h6 li td th dd dt blockquote pre figcaption
+    caption div article section main aside nav header footer form
+    table ul ol dl tr thead tbody tfoot figure details summary
+    fieldset legend address hgroup""".split()
+)
+# Content inside these is dropped entirely (P10 unwarp analog: strip
+# script/style/template + head metadata).
+SKIP_TAGS = frozenset("script style template noscript head title svg iframe object".split())
+# Void elements never enter the open-element stack.
+VOID_TAGS = frozenset(
+    "br hr img meta link input area base col embed source track wbr param".split()
+)
+# Line-break-ish voids contribute a space so words don't fuse.
+SPACING_VOIDS = frozenset(("br", "hr", "img"))
+
+
+@dataclass
+class Block:
+    block_id: int
+    tag: str
+    tag_path: str
+    depth: int
+    pos: int
+    text_raw: str
+    n_text_chars: int
+    n_link_chars: int
+    n_tags: int
+
+
+@dataclass
+class SegmentResult:
+    blocks: list          # list[Block], capped at max_candidates
+    n_candidates: int     # pre-cap candidate count (for lineage; D3 log-on-truncate)
+    truncated: bool
+    charset: str
+    oversized: bool       # html exceeded max_html_bytes guard (F7)
+
+
+class _Segmenter(HTMLParser):
+    def __init__(self, max_candidates: int):
+        super().__init__(convert_charrefs=True)
+        self.max_candidates = max_candidates
+        # open-element stack: (tag, child_counter_dict)
+        self.stack: list = [("", {})]
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.pos = 0
+        self.blocks: list = []
+        self.n_candidates = 0
+        # current run state
+        self._parts: list = []
+        self._link_chars = 0
+        self._n_tags = 0
+        self._ctx_tag = "body"
+        self._ctx_path = ""
+        self._ctx_depth = 0
+        self._ctx_pos = 0
+
+    # -- path bookkeeping --
+    def _push(self, tag: str) -> str:
+        counters = self.stack[-1][1]
+        counters[tag] = counters.get(tag, 0) + 1
+        seg = f"{tag}[{counters[tag]}]"
+        parent_path = self.stack[-1][0]
+        path = f"{parent_path}/{seg}" if parent_path else seg
+        self.stack.append((path, {}))
+        return path
+
+    def _pop(self, tag: str) -> None:
+        # pop to the nearest matching open element; ignore stray closers
+        for i in range(len(self.stack) - 1, 0, -1):
+            seg = self.stack[i][0].rsplit("/", 1)[-1]
+            if seg.split("[", 1)[0] == tag:
+                del self.stack[i:]
+                return
+
+    # -- run/block bookkeeping --
+    def _flush(self) -> None:
+        text = "".join(self._parts)
+        if text and not text.isspace():
+            self.n_candidates += 1
+            if len(self.blocks) < self.max_candidates:
+                self.blocks.append(Block(
+                    block_id=len(self.blocks),
+                    tag=self._ctx_tag,
+                    tag_path=self._ctx_path,
+                    depth=self._ctx_depth,
+                    pos=self._ctx_pos,
+                    text_raw=text,
+                    n_text_chars=sum(1 for c in text if not c.isspace()),
+                    n_link_chars=self._link_chars,
+                    n_tags=self._n_tags,
+                ))
+        self._parts = []
+        self._link_chars = 0
+        self._n_tags = 0
+
+    def _new_ctx(self, tag: str, path: str) -> None:
+        self._ctx_tag = tag
+        self._ctx_path = path
+        self._ctx_depth = len(self.stack) - 1
+        self._ctx_pos = self.pos
+
+    def _reinherit_ctx(self) -> None:
+        """After closing a block element, text that follows (the 'tail')
+        belongs to the nearest enclosing block element still open."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            path = self.stack[i][0]
+            tag = path.rsplit("/", 1)[-1].split("[", 1)[0]
+            if tag in BLOCK_TAGS:
+                self._ctx_tag = tag
+                self._ctx_path = path
+                self._ctx_depth = i
+                self._ctx_pos = self.pos
+                return
+        self._new_ctx("body", self.stack[-1][0])
+
+    # -- HTMLParser hooks --
+    def handle_starttag(self, tag, attrs):
+        self.pos += 1
+        if tag in VOID_TAGS:
+            if tag in SPACING_VOIDS and not self.skip_depth:
+                self._parts.append(" ")
+            return
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+        path = self._push(tag)
+        if self.skip_depth:
+            return
+        self._n_tags += 1
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._new_ctx(tag, path)
+
+    def handle_startendtag(self, tag, attrs):
+        # <x/> — treat exactly like a void occurrence
+        self.pos += 1
+        if tag in SPACING_VOIDS and not self.skip_depth:
+            self._parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        if tag == "a" and self.link_depth and not self.skip_depth:
+            self.link_depth -= 1
+        was_skip = self.skip_depth > 0
+        self._pop(tag)
+        if tag in SKIP_TAGS and self.skip_depth:
+            self.skip_depth -= 1
+            return
+        if was_skip:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._reinherit_ctx()
+
+    def handle_data(self, data):
+        if self.skip_depth or not data:
+            return
+        self._parts.append(data)
+        if self.link_depth:
+            self._link_chars += sum(1 for c in data if not c.isspace())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def segment_html(raw: bytes | None,
+                 max_candidates: int = 1500,
+                 max_html_bytes: int = 20 << 20,
+                 sniff_bytes: int = 2048) -> SegmentResult:
+    """One document -> candidate blocks. Never raises (F8/F9 analog:
+    empty/broken input still yields a result row)."""
+    if raw is None:
+        return SegmentResult([], 0, False, "null", False)
+    oversized = len(raw) > max_html_bytes
+    if oversized:
+        raw = raw[:max_html_bytes]  # truncate guard-rail (F7/P6)
+    text, charset = decode_html(raw, sniff_bytes)
+    seg = _Segmenter(max_candidates)
+    try:
+        seg.feed(text)
+        seg.close()
+    except Exception:
+        # malformed beyond the tolerant parser: emit what we have
+        seg._flush()
+    return SegmentResult(
+        blocks=seg.blocks,
+        n_candidates=seg.n_candidates,
+        truncated=seg.n_candidates > len(seg.blocks),
+        charset=charset,
+        oversized=oversized,
+    )

@@ -1,0 +1,115 @@
+"""The composed extraction pipeline (OCRPipeline analog,
+/root/reference/src/pipeline/ocr_pipeline.cpp).
+
+One lazy DataFrame chain — the reference's five async queue hops
+(detect -> classify -> recognize -> finalize -> output) become four
+column transformations with exactly one Python boundary:
+
+    documents (url, html)
+      -> seg     = segment_udf(html)          # stage 1, pandas UDF
+      -> scored  = transform(seg.blocks, +score)   # stage 2, Catalyst
+      -> spans   = sort(filter(scored))       # stage 3, Catalyst
+      -> text    = array_join(spans.text)     # finalize
+
+Zero shuffles end-to-end: the per-doc barrier the reference hand-rolls
+with atomics is unnecessary because blocks never leave their row. The
+optional repartition before the UDF only balances work (no key
+semantics), and AQE may elide it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG, ExtractionConfig
+from dxnn_ocr_cpp_spark.operators.emit import with_final_text, with_spans
+from dxnn_ocr_cpp_spark.operators.score import with_scored_blocks
+from dxnn_ocr_cpp_spark.operators.segment import with_blocks
+from dxnn_ocr_cpp_spark.partitioning import salted_repartition
+
+
+def extract(documents: DataFrame,
+            cfg: ExtractionConfig = DEFAULT_CONFIG,
+            repartition_to: int | None = None,
+            keep_intermediate: bool = False) -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) -> extracted
+    (url, text, n_spans, n_candidates, charset [, seg, scored, spans]).
+
+    Output is a pure per-row function of (url, html, cfg): byte-identical
+    under any partitioning/parallelism (the north-rule invariant).
+    """
+    df = documents.select("url", "html")  # column pruning before the UDF (X12)
+    if repartition_to:
+        df = salted_repartition(df, repartition_to, salt_buckets=cfg.salt_buckets)
+    df = with_blocks(df, cfg)                  # stage 1
+    df = with_scored_blocks(df, cfg)           # stage 2
+    df = with_spans(df, cfg)                   # stage 3
+    df = with_final_text(df, cfg)              # finalize
+    cols = [
+        F.col("url"),
+        F.col("text"),
+        F.size("spans").cast("int").alias("n_spans"),
+        F.col("seg.n_candidates").alias("n_candidates"),
+        F.col("seg.charset").alias("charset"),
+    ]
+    if keep_intermediate:
+        cols += [F.col("seg"), F.col("scored"), F.col("spans")]
+    return df.select(*cols)
+
+
+def extract_blocks(documents: DataFrame,
+                   cfg: ExtractionConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Exploded stage-1/2 checkpoint view: one row per candidate block
+    (the `blocks` table of FIXTURES.md §2) — used for checkpointing,
+    lineage and SQL-shaped inspection, not the hot path."""
+    df = with_blocks(documents.select("url", "html"), cfg)
+    df = with_scored_blocks(df, cfg)
+    b = F.explode_outer("scored").alias("b")
+    df = df.select("url", b)
+    return df.select(
+        "url",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.tag").alias("tag"),
+        F.col("b.tag_path").alias("tag_path"),
+        F.col("b.depth").alias("depth"),
+        F.col("b.pos").alias("pos"),
+        F.col("b.text").alias("text"),
+        F.col("b.n_text_chars").alias("n_text_chars"),
+        F.col("b.n_link_chars").alias("n_link_chars"),
+        F.col("b.n_tags").alias("n_tags"),
+        F.col("b.score").alias("score"),
+    )
+
+
+def extract_python(url: str, html: bytes | None,
+                   cfg: ExtractionConfig = DEFAULT_CONFIG) -> dict:
+    """Pure-Python reference implementation of the full per-row
+    pipeline, used by unit tests to hand-compute expectations. Mirrors
+    extract() semantics 1:1 (score/filter formulas kept in sync by the
+    tests/test_parity.py cross-check)."""
+    from dxnn_ocr_cpp_spark.operators.segment import segment_one
+
+    seg = segment_one(html, cfg)
+    spans = []
+    for b in seg["blocks"]:
+        boiler = any(
+            p.split("[", 1)[0] in cfg.boiler_ancestors
+            for p in b["tag_path"].split("/")
+        )
+        prior = 0.0 if boiler else (1.0 if b["tag"] in cfg.content_tags else 0.7)
+        ld = min(b["n_link_chars"] / max(b["n_text_chars"], 1), 1.0)
+        length_term = 0.5 + 0.5 * min(b["n_text_chars"] / float(cfg.length_norm_chars), 1.0)
+        score = prior * (1.0 - ld) * length_term
+        if (score >= cfg.box_thresh and score >= cfg.rec_score_thresh
+                and b["n_text_chars"] >= cfg.min_text_chars
+                and ld <= cfg.max_link_density and b["text"]):
+            spans.append((b["pos"], b["depth"], b["block_id"], b["text"], score))
+    spans.sort()
+    return {
+        "url": url,
+        "text": cfg.span_separator.join(s[3] for s in spans),
+        "n_spans": len(spans),
+        "n_candidates": seg["n_candidates"],
+        "charset": seg["charset"],
+    }
