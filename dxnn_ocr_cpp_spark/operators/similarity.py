@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute-force  exact cosine top-k — broadcast the (small) query set,
+               one narrow pass over the corpus, per-query top-k via
+               window. Baseline and oracle.
+  lsh-bucketed random-hyperplane LSH (signed projections -> bit
+               signature -> banded buckets) — the 100-TB path: queries
+               only meet corpus rows sharing a band bucket, so cost is
+               corpus_size * (signature build) + bucket-local joins,
+               never full cross-product.
+
+Dot products use F.zip_with + F.aggregate (JVM higher-order functions,
+no Python). Hyperplanes are seeded numpy, broadcast as literal arrays —
+deterministic across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
+def as_double_array(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4) -> DataFrame:
+    """Exact top-k cosine neighbours per query (excluding self).
+
+    queries is broadcast (it is the small side by construction — a
+    handful of probe vectors against an arbitrarily large corpus);
+    ranking uses (rounded sim DESC, neighbour id ASC) so the cut is
+    fully deterministic and engine-independent.
+    """
+    c = corpus.select(F.col(id_col).alias("nb_id"),
+                      as_double_array(F.col(vec_col)).alias("nb_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double_array(F.col(vec_col)).alias("q_vec"))
+    sims = (c.join(F.broadcast(q), F.col("nb_id") != F.col("query_id"))
+            .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("nb_vec")),
+                                       round_to)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nb_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "nb_id", "sim"))
+
+
+def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> list:
+    """Seeded random hyperplanes (pure function of (dim, n, seed))."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_col(vec_col, planes: list):
+    """Bit signature as array<int> of 0/1 (sign of projection)."""
+    bits = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec_col, lit) >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 32, bands: int = 8, dim: int = 64,
+             round_to: int = 4) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing >=1 LSH band bucket
+    with the query, then exact cosine + rank within candidates. Recall
+    < 1.0 by design; the bench compares its hit-rate vs brute force."""
+    planes = hyperplanes(dim, n_planes)
+    rows_per_band = n_planes // bands
+
+    def with_buckets(df, idc):
+        sig = signature_col(as_double_array(F.col(vec_col)), planes)
+        d = df.select(F.col(id_col).alias(idc),
+                      as_double_array(F.col(vec_col)).alias(f"{idc}_vec"),
+                      sig.alias("sig"))
+        return d.select(
+            idc, f"{idc}_vec",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)])).alias("bucket"))
+                for b in range(bands)
+            ])).alias("bb")).select(idc, f"{idc}_vec", "bb.band", "bb.bucket")
+
+    cb = with_buckets(corpus, "nb_id")
+    qb = with_buckets(queries, "query_id")
+    cand = (cb.join(F.broadcast(qb), ["band", "bucket"])
+            .filter(F.col("nb_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "nb_id"]))
+    sims = cand.withColumn(
+        "sim", F.round(cosine(F.col("query_id_vec"), F.col("nb_id_vec")), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nb_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "nb_id", "sim"))

@@ -1,0 +1,126 @@
+"""Text analysis over document tables — language-ID, quality scoring,
+token counting, fingerprinting.
+
+These extend the extraction engine into a training-data pipeline: after
+main-content extraction produces `text`, these operators score/filter
+the corpus. Everything here is pure Catalyst built-ins (JVM-side,
+whole-stage-codegen) — no Python at all — so each scales linearly with
+executors and is SQL-oracle-checkable.
+
+Analog anchoring: quality_score is the stage-2 classifier analog
+applied corpus-wide; fingerprint is the golden-hash idea
+(/root/reference/benchmark/calculate_acc.py) productionized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword marker sets (n-gram heuristic lang-id).
+# Deliberately tiny + fixed: the point is the operator shape (vectorized
+# regexp counting + argmax), not linguistic accuracy.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "es", "una"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+STOPWORDS_EN = ("the a an and or of to in is are was were be on for with "
+                "as at this that it by from").split()
+
+
+def _marker_regex(words) -> str:
+    # word-boundary alternation, lowercase input assumed
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count. size(split) counts the empty string as
+    one token, so guard '' -> 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND on
+    letter/digit/punct class changes (a cheap BPE-like proxy used for
+    budget estimation in training pipelines)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.size(pieces).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_marker_regex(words)), 0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; ties broken by fixed lang order;
+    no hits at all -> 'und'."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # fixed order => deterministic ties
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower(text), F.lit(_marker_regex(STOPWORDS_EN)), 0))
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / denom,
+        "punct_ratio": n_punct / denom,
+        "stopword_ratio": n_stop.cast("double")
+                          / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        "mean_token_len": n_chars.cast("double")
+                          / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Gopher/C4-flavoured heuristic in [0,1]: length term * alpha
+    term * stopword presence term. Fixed formula (documented here,
+    mirrored in oracle SQL)."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    alpha_term = F.least(f["alpha_ratio"] * F.lit(1.25), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
+    return length_term * alpha_term * stop_term
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text. md5 exists in every engine (exactly, not
+    engine-specific like xxhash64), so dedup decisions replay anywhere."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    f = quality_features(t)
+    return (df
+            .withColumn("n_tokens", f["n_tokens"])
+            .withColumn("alpha_ratio", f["alpha_ratio"])
+            .withColumn("stopword_ratio", f["stopword_ratio"])
+            .withColumn("quality_score", quality_score(t))
+            .withColumn("lang_pred", lang_id(t))
+            .withColumn("fingerprint", fingerprint(t)))

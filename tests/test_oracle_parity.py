@@ -1,0 +1,93 @@
+"""Driver-contract parity: every queries() entry with an oracle_sql()
+must match DuckDB on row count, column names, and (order-insensitive)
+values — mirrors the driver's CORRECTNESS gate so mismatches surface in
+pytest first.
+"""
+
+import math
+import pathlib
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = pathlib.Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+
+def rowset(rows):
+    return sorted(tuple(canon(x) for x in r) for r in rows)
+
+
+ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    ddf = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+
+    assert scols == dcols, f"{name}: column names {scols} != {dcols}"
+    assert len(srows) == len(drows), \
+        f"{name}: row count {len(srows)} != {len(drows)}"
+
+    # order-insensitive value compare, columns sorted by name (driver's rule)
+    order = sorted(range(len(scols)), key=lambda i: scols[i])
+    s = rowset([[r[i] for i in order] for r in srows])
+    d = rowset([[r[i] for i in order] for r in drows])
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
+    assert s == d, f"{name}: value mismatch at {mism}: " + "; ".join(
+        f"spark={s[i]} duck={d[i]}" for i in mism)
+
+
+def test_every_query_runs_and_returns_rows(spark):
+    """Queries without oracles still must run and be deterministic."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        assert n >= 0, name
+        if name not in entrymod.oracle_sql():
+            # re-run -> same rowset (determinism for rows-only checks)
+            a = rowset([tuple(r) for r in df.collect()])
+            b = rowset([tuple(r) for r in fn(spark, SF_DIR).collect()])
+            assert a == b, f"{name} not deterministic"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == entrymod.N_DOCS_ENTRY
+    assert df.columns == ["url", "text", "n_spans", "n_candidates", "charset"]
