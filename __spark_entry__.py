@@ -274,6 +274,34 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter("vec_id < 5"), k=5)
 
 
+def q_base64_roundtrip(spark, sf_dir):
+    """base64 encode/decode coverage (S3/C9 analog: the reference's
+    base64 request payloads, /root/reference/server/ocr_handler.cpp:300-306)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    enc = F.base64(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        F.substring(enc, 1, 32).alias("b64_head"),
+        (F.unbase64(enc).cast("string") == F.col("text")).alias("roundtrip_ok"))
+
+
+def q_embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4): the
+    embedding-space twin of the text near-dup operators."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import as_double_array, cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"),
+                   as_double_array(F.col("embedding")).alias("v"))
+    # n is small enough at test sf for the exact pair join; the scale
+    # path is lsh_topk's banded buckets (same cosine kernel)
+    pairs = (e.alias("x").join(e.alias("y"), F.col("x.id") < F.col("y.id"))
+             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                     F.round(cosine(F.col("x.v"), F.col("y.v")), 4).alias("sim")))
+    return pairs.filter(F.col("sim") >= 0.4)
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -308,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "base64_roundtrip": q_base64_roundtrip,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -475,6 +505,25 @@ ORACLES: dict[str, str] = {
           FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
         FROM pairs WHERE common / (na + nb - common) >= 0.4
+    """,
+    "base64_roundtrip": """
+        SELECT doc_id,
+               substring(to_base64(text::BLOB), 1, 32) AS b64_head,
+               from_base64(to_base64(text::BLOB))::VARCHAR = text
+                 AS roundtrip_ok
+        FROM documents
+    """,
+    "embedding_cosine_dups": """
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        p AS (
+          SELECT x.id AS a, y.id AS b,
+                 round(list_dot_product(x.v, y.v)
+                       / greatest(sqrt(list_dot_product(x.v, x.v))
+                                  * sqrt(list_dot_product(y.v, y.v)),
+                                  1e-12), 4) AS sim
+          FROM e x JOIN e y ON x.id < y.id)
+        SELECT a, b, sim FROM p WHERE sim >= 0.4
     """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -15,14 +15,17 @@ keys stay bounded at 10^12-document scale:
   simhash      64-bit near-dup signature; hamming-ball lookup via
                4-piece exact-match trick
 
-All hashing is xxhash64 (JVM-side, seeded, deterministic); no Python in
-any of these operators.
+All hashing is xxhash64 (JVM-side, seeded, deterministic). The only
+Python is simhash's vectorized bit-vote kernel (one Arrow hop).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dxnn_ocr_cpp_spark.operators.textstats import fingerprint
 
@@ -149,28 +152,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- SimHash ----------
 
+def _simhash_from_hashes_udf():
+    """Vectorized numpy kernel: array<long> token hashes -> 64-bit
+    SimHash. Token hashing stays JVM-side (xxhash64); only the bit-vote
+    reduction crosses to Python — one Arrow hop, whole batch at once
+    (the NPU-call-shaped hybrid; a pure-Column version needs 64
+    aggregate passes and is ~100x slower)."""
+    @F.pandas_udf(T.LongType())
+    def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+        bitpos = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> bitpos) & np.uint64(1)     # (n_tok, 64)
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            sig = int(((votes > 0).astype(np.uint64) << bitpos)
+                      .sum(dtype=np.uint64))
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return simhash_from_hashes
+
+
 def simhash64(text_col, token_n: int = 2):
-    """64-bit SimHash over word n-gram tokens, built bit-by-bit with
-    integer column arithmetic: bit_j = sign(sum over tokens of
-    (bit_j(xxhash64(tok)) ? +1 : -1))."""
+    """64-bit SimHash over word n-gram tokens:
+    bit_j = sign(sum over tokens of (bit_j(xxhash64(tok)) ? +1 : -1))."""
     toks = word_shingles(text_col, token_n)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    out = F.lit(0).cast("long")
-
-    def _voter(j):
-        # closure factory: a default-arg lambda would change the arity
-        # pyspark reports to the HOF binder
-        return lambda acc, h: acc + F.when(
-            F.bit_get(h, F.lit(j)) == 1, 1).otherwise(-1)
-
-    for j in range(64):
-        votes = F.aggregate(hashes, F.lit(0), _voter(j))
-        # 1<<63 wraps to long min in two's complement
-        bit_j = (1 << j) if j < 63 else -(1 << 63)
-        out = out.bitwiseOR(
-            F.when(votes > 0, F.lit(bit_j).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return out
+    return _simhash_from_hashes_udf()(hashes)
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,95 @@
+"""Structured Streaming surface.
+
+The reference's "streaming" is a bounded work-queue pipeline
+(ConcurrentQueue cap 100 = backpressure,
+/root/reference/src/pipeline/ocr_pipeline.cpp:353-355; non-blocking
+try_push with retry :204-216). The honest Spark analog of that is just
+batch micro-batched — but we also expose the real streaming operators a
+continuously-crawled corpus needs:
+
+  stream_extract            readStream(documents) -> the SAME extract()
+                            transformation -> sink via foreachBatch
+                            (exactly-once with checkpointing; per-batch
+                            lineage rows reuse lineage.lineage_rows)
+  stream_tumbling_counts    watermark + event-time tumbling window over
+                            an event stream (late data handled)
+  stream_sessionize         session_window aggregation
+
+Batch/stream parity: extract() is a per-row transformation, so the
+streaming and batch results are byte-identical for the same input rows
+(tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG, ExtractionConfig
+from dxnn_ocr_cpp_spark.pipeline import extract
+from dxnn_ocr_cpp_spark.schemas import DOCUMENTS
+
+
+def read_documents_stream(spark: SparkSession, path: str,
+                          max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a documents directory (the WARC-dump
+    ingestion shape: new parquet files appear, Spark picks them up).
+    maxFilesPerTrigger bounds per-batch work — the backpressure knob
+    (queue-cap analog)."""
+    return (spark.readStream.schema(DOCUMENTS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_extract(docs_stream: DataFrame, out_path: str,
+                   checkpoint_path: str,
+                   cfg: ExtractionConfig = DEFAULT_CONFIG,
+                   run_id: str = "stream"):
+    """Continuous extraction with exactly-once parquet sink.
+
+    foreachBatch gets the SAME lazy extract() plan per micro-batch;
+    checkpointing makes replays idempotent (batch id recorded). Lineage
+    rows are appended per batch — the streaming version of X15.
+    """
+    from dxnn_ocr_cpp_spark.lineage import lineage_rows
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract(batch_df, cfg)
+        out.write.mode("append").parquet(f"{out_path}/data")
+        (lineage_rows(out, run_id, f"emit-batch-{batch_id}",
+                      bytes_out_col="text")
+         .coalesce(1).write.mode("append").parquet(f"{out_path}/_lineage"))
+
+    return (docs_stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True))
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (ltz); parquet event times are
+    often TIMESTAMP_NTZ — cast under the pinned-UTC session."""
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def stream_tumbling_counts(events_stream: DataFrame,
+                           window: str = "5 minutes",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling counts with late-data watermark — the
+    streaming twin of the batch events_tumbling query."""
+    return (_with_event_time(events_stream)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def stream_sessionize(events_stream: DataFrame,
+                      gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (the stateful-op analog of the batch
+    lag+cumsum sessionization)."""
+    return (_with_event_time(events_stream)
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: schema, Arrow batch flow, determinism of
+the stubbed featurizer, frame-sample explode shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.operators.multimodal import (
+    FEATURE_DIM, MEDIA_SCHEMA, featurize_media, frame_sample_plan,
+)
+
+ROWS = [
+    ("img-1", "image", b"\x89PNG....fakebytes", "image/png", 64, 48, None),
+    ("img-2", "image", b"\xff\xd8\xff jpeg-ish", "image/jpeg", 32, 32, None),
+    ("vid-1", "video", b"\x00\x00ftypmp42", "video/mp4", 640, 360, 4200),
+    ("aud-1", "audio", None, "audio/wav", None, None, 1000),
+]
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(ROWS, MEDIA_SCHEMA)
+
+
+def test_featurize_schema_and_shape(spark, media):
+    out = featurize_media(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"img-1", "img-2", "vid-1", "aud-1"}
+    for r in rows.values():
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    assert rows["aud-1"]["n_bytes"] == 0  # null payload -> empty feature basis
+
+
+def test_featurize_deterministic_and_partition_invariant(spark, media):
+    a = {r["media_id"]: r["feature"] for r in featurize_media(media).collect()}
+    b = {r["media_id"]: r["feature"]
+         for r in featurize_media(media.repartition(4)).collect()}
+    assert a == b
+
+
+def test_real_decoder_slot_falls_back(spark, media):
+    rows = featurize_media(media, use_real_decoder=True).collect()
+    assert all(r["decode_status"] == "stub-fallback" for r in rows)
+    # feature values identical to the stub path (same kernel)
+    stub = {r["media_id"]: r["feature"] for r in featurize_media(media).collect()}
+    real = {r["media_id"]: r["feature"] for r in rows}
+    assert stub == real
+
+
+def test_frame_sample_plan(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row explodes; 4200ms -> frames at 0..3999
+    assert {(r["media_id"], r["frame_idx"], r["frame_ts_ms"]) for r in frames} \
+        == {("vid-1", i, i * 1000) for i in range(4)}

@@ -1,0 +1,74 @@
+"""Streaming tests: batch/stream parity for extraction, tumbling
+window counts with watermark, session windows."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+from dxnn_ocr_cpp_spark.pipeline import extract
+from dxnn_ocr_cpp_spark.streaming import (
+    read_documents_stream, stream_extract, stream_sessionize,
+    stream_tumbling_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """File streams need a DIRECTORY source; stage the events table."""
+    d = str(tmp_path_factory.mktemp("events_src"))
+    spark.read.parquet(EVENTS).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = generate_documents_df(spark, 50, partitions=5)
+    docs.write.parquet(src)
+
+    q = stream_extract(read_documents_stream(spark, src, 2), out, ckpt).start()
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["text"] for r in spark.read.parquet(f"{out}/data").collect()}
+    exp = {r["url"]: r["text"] for r in extract(docs).collect()}
+    assert got == exp  # byte-identical batch/stream parity
+
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.agg(F.sum("row_count")).collect()[0][0] == 50
+
+    # restart with same checkpoint: availableNow already consumed all
+    # files -> no duplicate rows (exactly-once)
+    q2 = stream_extract(read_documents_stream(spark, src, 2), out, ckpt).start()
+    q2.awaitTermination(60)
+    assert spark.read.parquet(f"{out}/data").count() == 50
+
+
+def test_stream_tumbling_counts(spark, events_dir):
+    ev = (spark.readStream.schema(spark.read.parquet(EVENTS).schema)
+          .parquet(events_dir))
+    agg = stream_tumbling_counts(ev)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("tumbling").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_type, sum(n_events) n FROM tumbling "
+                    "GROUP BY event_type").collect()
+    exp = (spark.read.parquet(EVENTS)
+           .groupBy("event_type").count().collect())
+    assert {(r["event_type"], r["n"]) for r in got} == \
+           {(r["event_type"], r["count"]) for r in exp}
+
+
+def test_stream_sessionize_runs(spark, events_dir):
+    ev = (spark.readStream.schema(spark.read.parquet(EVENTS).schema)
+          .parquet(events_dir))
+    q = (stream_sessionize(ev).writeStream.outputMode("complete")
+         .format("memory").queryName("sessions").start())
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) c FROM sessions").collect()[0]["c"]
+    assert n > 0
