@@ -302,6 +302,42 @@ def q_embedding_cosine_dups(spark, sf_dir):
     return pairs.filter(F.col("sim") >= 0.4)
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-indexed ANN top-k (inverted-file cells, nprobe=8/16) —
+    approximate -> rows-only check; recall vs brute force is pinned in
+    tests/test_ivf.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.ivf import build_ivf, ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, cents = build_ivf(emb, n_lists=16, iters=2)
+    return ivf_topk(indexed, cents, emb.filter("vec_id < 5"), k=5, nprobe=8)
+
+
+def q_validate_rejects(spark, sf_dir):
+    """Input-guard operator (F7 analog) over a corpus salted with bad
+    rows — returns reject histogram (rows-only; rules are Column
+    exprs unit-tested in tests/test_validate.py)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.operators.validate import validate_documents
+    from pyspark.sql import types as T
+    docs = generate_documents_df(spark, 100)
+    bad = spark.createDataFrame(
+        [(None, None, b"<p>x</p>", None, "en"),
+         ("", None, b"<p>x</p>", None, "en"),
+         ("not-a-url", None, b"<p>x</p>", None, "en"),
+         ("https://h/" + "a" * 3000, None, b"<p>x</p>", None, "en")],
+        schema=T.StructType([
+            T.StructField("url", T.StringType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True)]))
+    _, rejects = validate_documents(docs.unionByName(bad))
+    return (rejects.groupBy("reject_reason")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("reject_reason"))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -336,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "validate_rejects": q_validate_rejects,
         "base64_roundtrip": q_base64_roundtrip,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "extract_corpus": q_extract_corpus,

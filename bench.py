@@ -112,13 +112,18 @@ def scaling_worker(cores: int, corpus: str) -> dict:
             _materialize(extract(docs))
             return time.monotonic() - t0
 
-        run()  # full warm pass: spawns every Python worker + JITs the
-               # plan (the reference benchmark also keeps only the
-               # post-warm run, benchmark.cpp:184-222); best-of across
-               # invocations comes from run_scaling's interleaving
+        # warm pass doubles as the char-count aggregation (CPS metric,
+        # reference formula benchmark.cpp:285): spawns every Python
+        # worker + JITs the plan (reference keeps only post-warm runs,
+        # benchmark.cpp:184-222); best-of across invocations comes from
+        # run_scaling's interleaving
+        from pyspark.sql import functions as F
+        total_chars = extract(docs).agg(
+            F.sum(F.length("text"))).collect()[0][0] or 0
         wall = run()
         return {"cores": cores, "wall_sec": round(wall, 3),
-                "docs": n, "docs_per_sec": round(n / wall, 2)}
+                "docs": n, "docs_per_sec": round(n / wall, 2),
+                "chars_per_sec": round(total_chars / wall, 1)}
     finally:
         spark.stop()
 

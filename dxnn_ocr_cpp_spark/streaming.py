@@ -84,6 +84,40 @@ def stream_tumbling_counts(events_stream: DataFrame,
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def stream_host_stats(extracted_stream: DataFrame,
+                      checkpoint_unused: str | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-host (docs, bytes) counters over a stream of extracted rows —
+    the analog of the reference's long-lived per-pipeline stats object
+    (OCRPipelineStats, /root/reference/include/pipeline/ocr_pipeline.h:98-128)
+    kept as managed Spark state instead of a mutable singleton.
+
+    State: (docs LONG, bytes LONG) per host; output mode `update`
+    emits the new totals each micro-batch.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        docs, nbytes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            nbytes += int(pdf["text"].str.len().sum())
+        state.update((docs, nbytes))
+        yield pd.DataFrame({"host": [key[0]], "docs": [docs],
+                            "bytes": [nbytes]})
+
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)/", 1)
+    return (extracted_stream
+            .withColumn("host", host)
+            .groupBy("host")
+            .applyInPandasWithState(
+                update,
+                outputStructType="host string, docs long, bytes long",
+                stateStructType="docs long, bytes long",
+                outputMode="update",
+                timeoutConf="NoTimeout"))
+
+
 def stream_sessionize(events_stream: DataFrame,
                       gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:

@@ -72,3 +72,34 @@ def test_stream_sessionize_runs(spark, events_dir):
     q.stop()
     n = spark.sql("SELECT count(*) c FROM sessions").collect()[0]["c"]
     assert n > 0
+
+
+def test_stream_host_stats_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: counters must accumulate across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    from dxnn_ocr_cpp_spark.streaming import stream_host_stats
+
+    src = str(tmp_path / "ext_src")
+    docs = generate_documents_df(spark, 40, partitions=1)
+    ext = extract(docs)
+    ext.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).write.mode("append").parquet(src)
+    ext.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_host_stats(stream).writeStream.outputMode("update")
+         .format("memory").queryName("hoststats").start())
+    q.processAllAvailable()
+    q.stop()
+    # memory sink in update mode appends each emission; latest per host
+    # must equal the batch ground truth
+    got = spark.sql("""
+        SELECT host, max(docs) docs, max(bytes) bytes
+        FROM hoststats GROUP BY host""").collect()
+    exp = (extract(docs)
+           .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1))
+           .groupBy("host")
+           .agg(F.count(F.lit(1)).alias("docs"),
+                F.sum(F.length("text")).alias("bytes"))).collect()
+    assert {(r["host"], r["docs"], r["bytes"]) for r in got} == \
+           {(r["host"], r["docs"], r["bytes"]) for r in exp}
