@@ -113,3 +113,63 @@ def extract_python(url: str, html: bytes | None,
         "n_candidates": seg["n_candidates"],
         "charset": seg["charset"],
     }
+
+
+def extract_checkpointed(spark, documents: DataFrame, root: str,
+                         cfg: ExtractionConfig = DEFAULT_CONFIG,
+                         run_id: str | None = None):
+    """Stage-wise checkpointed extraction (north rule X15): stage 1+2
+    snapshot the exploded scored-blocks table, stage 3 rebuilds spans
+    from that checkpoint — a crash between stages resumes WITHOUT
+    re-parsing any html (the expensive stage).
+
+    Returns (extracted DataFrame materialized from the final
+    checkpoint, CheckpointedRun handle for lineage inspection).
+    """
+    from pyspark.sql import Window
+
+    from dxnn_ocr_cpp_spark.lineage import CheckpointedRun
+    from dxnn_ocr_cpp_spark.operators.emit import span_filter
+
+    run = CheckpointedRun(spark, root, run_id=run_id)
+
+    # stage 1+2: parse + score, exploded for a columnar checkpoint.
+    # Resume semantics: only docs absent from the checkpoint are parsed.
+    def build_blocks():
+        todo = run.resume_filter(documents, "blocks", key="url")
+        # url universe must survive even for block-less docs (F8):
+        # emit a null-block row per url so resume sees it as done
+        return extract_blocks(todo, cfg)
+
+    blocks = run.run_stage("blocks", build_blocks, bytes_out_col="text")
+
+    # stage 3: emission from the checkpoint — window re-sort replaces
+    # the array sort (the blocks left their row at the checkpoint
+    # boundary, so this path pays ONE shuffle by design; the
+    # non-checkpointed extract() path pays zero)
+    def build_extracted():
+        b = blocks
+        ld = F.col("n_link_chars") / F.greatest(F.col("n_text_chars"), F.lit(1))
+        keep = (
+            F.col("block_id").isNotNull()
+            & (F.col("score") >= F.lit(cfg.box_thresh))
+            & (F.col("score") >= F.lit(cfg.rec_score_thresh))
+            & (F.col("n_text_chars") >= F.lit(cfg.min_text_chars))
+            & (ld <= F.lit(cfg.max_link_density))
+            & (F.col("text") != F.lit(""))
+        )
+        spans = (b.withColumn("_keep", keep)
+                 .withColumn("_k", F.when(F.col("_keep"), F.struct(
+                     F.col("pos"), F.col("depth"), F.col("block_id"),
+                     F.col("text"), F.col("score")))))
+        agg = (spans.groupBy("url")
+               .agg(F.array_sort(F.collect_list("_k")).alias("ks")))
+        txt = F.array_join(F.transform(F.col("ks"), lambda s: s["text"]),
+                           cfg.span_separator)
+        return agg.select(
+            "url", txt.alias("text"),
+            F.size("ks").cast("int").alias("n_spans"))
+
+    extracted = run.run_stage("extracted", build_extracted,
+                              bytes_out_col="text")
+    return extracted, run

@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 def build_session(app: str = "dxnn_ocr_cpp_spark",
                   master: str | None = None,
-                  arrow_max_records: int = 128,
+                  arrow_max_records: int = 512,
                   shuffle_partitions: int | None = None,
                   extra_conf: dict | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
@@ -45,7 +45,7 @@ def build_session(app: str = "dxnn_ocr_cpp_spark",
     return spark
 
 
-def tune_runtime(spark: SparkSession, arrow_max_records: int = 128) -> None:
+def tune_runtime(spark: SparkSession, arrow_max_records: int = 512) -> None:
     """Apply per-run runtime confs on an externally-provided session
     (e.g. the driver's) — only confs settable at runtime."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
