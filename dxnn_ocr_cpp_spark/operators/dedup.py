@@ -21,6 +21,9 @@ Python is simhash's vectorized bit-vote kernel (one Arrow hop).
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -28,6 +31,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dxnn_ocr_cpp_spark.operators.textstats import fingerprint
+
+# Java-regex \s class (what Spark's regexp_replace(\s+) matches) — NOT
+# Python's Unicode-aware \s; keeps tokenization bit-compatible with the
+# Column-expression variant and the DuckDB oracle CTE
+_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _tokenize(s: str) -> list:
+    """Exact Python replica of the oracle/Column tokenization:
+    split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')."""
+    return _WS_RUN.sub(" ", s.strip(" ").lower()).split(" ")
+
+
+def _gram_hashes(s, n: int) -> np.ndarray:
+    """Distinct word n-grams of one doc -> sorted int64 blake2b-64
+    hashes (stable across processes/partitionings, unlike hash())."""
+    if s is None:
+        return np.empty(0, dtype=np.int64)
+    w = _tokenize(s)
+    if len(w) >= n:
+        grams = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    else:
+        grams = {" ".join(w)}
+    arr = np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+            "big", signed=True) for g in grams),
+        dtype=np.int64, count=len(grams))
+    arr.sort()
+    return arr
 
 
 # ---------- exact ----------
@@ -45,9 +78,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- word n-gram shingles (shared) ----------
 
-def word_shingles(text_col, n: int = 3):
-    """Array of word n-grams of the canonicalized text (distinct,
-    sorted for determinism)."""
+def _distinct_word_ngrams(text_col, n: int):
+    """Distinct word n-grams of the canonicalized text (unsorted —
+    every consumer is a set operation, so ordering is pure cost)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
     grams = F.transform(
         # 0 .. size-n inclusive; greatest() keeps the sequence ascending
@@ -56,8 +89,31 @@ def word_shingles(text_col, n: int = 3):
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
     short = F.array(F.array_join(words, " "))  # doc shorter than n words
-    return F.array_sort(F.array_distinct(
-        F.when(F.size(words) >= n, grams).otherwise(short)))
+    return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(short))
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-grams of the canonicalized text (distinct,
+    sorted for determinism)."""
+    return F.array_sort(_distinct_word_ngrams(text_col, n))
+
+
+def word_shingle_hashes(text_col, n: int = 3):
+    """Distinct word n-grams hashed to int64, via ONE vectorized-batch
+    pandas UDF (the sanctioned Arrow hop, same shape as the segmenter).
+
+    Two scale effects vs the pure-Column variant:
+      - downstream shuffles move 8-byte longs instead of n-word strings
+        (~10x less shuffle I/O on web text);
+      - the per-gram slice+array_join Catalyst expression is O(words^2)
+        per doc — the Python set-build is O(words) and measured ~5x
+        faster end-to-end at sf0.1.
+    Same token sets as the oracle CTE; collision odds ~k^2/2^64."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series([_gram_hashes(s, n) for s in texts])
+
+    return shingle_hashes(text_col)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -71,9 +127,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     without it one stop-shingle joins half the corpus to itself), join
     doc-lists pairwise, count common shingles, compute
     |A∩B| / (|A|+|B|-|A∩B|).
+
+    Shingles are pre-hashed to int64 (word_shingle_hashes) so the
+    explode/join shuffles carry 8-byte keys, not n-word strings.
     """
     sh = (df.select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), n).alias("sh"))
+                    word_shingle_hashes(F.col(text_col), n).alias("sh"))
             .withColumn("n_sh", F.size("sh")))
     sizes = sh.select("id", "n_sh")
     ex = sh.select("id", F.explode("sh").alias("g"))
@@ -123,8 +182,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     rows_per_band = num_perm // bands
     sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # shingles ride through the band explode as int64 arrays (8 bytes/
+    # shingle, ~10x lighter than the raw n-gram strings); both join
+    # sides shuffle the SAME subtree on (band, bucket) so Spark's
+    # ReuseExchange computes the expensive text->shingle pipeline once
     bands_df = sig.select(
         "id", "sh",
         F.explode(F.array(*[
@@ -133,8 +196,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
                              for r in range(rows_per_band)]).alias("bucket"))
             for b in range(bands)
-        ])).alias("bb"))
-    bands_df = bands_df.select("id", "sh", "bb.band", "bb.bucket")
+        ])).alias("bb")).select("id", "sh", "bb.band", "bb.bucket")
     cand = (bands_df.alias("x").join(bands_df.alias("y"), ["band", "bucket"])
             .filter(F.col("x.id") < F.col("y.id"))
             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
@@ -152,36 +214,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- SimHash ----------
 
-def _simhash_from_hashes_udf():
-    """Vectorized numpy kernel: array<long> token hashes -> 64-bit
-    SimHash. Token hashing stays JVM-side (xxhash64); only the bit-vote
-    reduction crosses to Python — one Arrow hop, whole batch at once
-    (the NPU-call-shaped hybrid; a pure-Column version needs 64
-    aggregate passes and is ~100x slower)."""
+def simhash64(text_col, token_n: int = 2):
+    """64-bit SimHash over distinct word n-gram tokens:
+    bit_j = majority vote of bit_j(blake2b64(token)) across tokens.
+
+    ONE fused pandas UDF (tokenize + hash + whole-batch numpy bit-vote
+    via reduceat) — the NPU-call-shaped hybrid; a pure-Column version
+    needs 64 aggregate passes and is ~100x slower."""
     @F.pandas_udf(T.LongType())
-    def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    def simhash_from_text(texts: pd.Series) -> pd.Series:
         bitpos = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> bitpos) & np.uint64(1)     # (n_tok, 64)
-            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-            sig = int(((votes > 0).astype(np.uint64) << bitpos)
-                      .sum(dtype=np.uint64))
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        n = len(texts)
+        per_doc = [_gram_hashes(s, token_n) for s in texts]
+        lens = np.fromiter((len(a) for a in per_doc), np.int64, n)
+        out = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            # flatten every doc's token hashes into one array, vote
+            # bits once, segment-sum with reduceat — no per-doc kernel
+            flat = np.concatenate(
+                [a for a in per_doc if len(a) > 0]).astype(np.uint64)
+            bits = ((flat[:, None] >> bitpos) & np.uint64(1)).astype(np.int32)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            votes = np.add.reduceat(bits, starts, axis=0)     # (n_nz, 64)
+            majority = votes * 2 > lens[nz, None]             # bit=1 iff >half
+            sigs = (majority.astype(np.uint64) << bitpos).sum(
+                axis=1, dtype=np.uint64)
+            out[nz] = sigs.astype(np.int64)                   # two's-complement
         return pd.Series(out)
 
-    return simhash_from_hashes
-
-
-def simhash64(text_col, token_n: int = 2):
-    """64-bit SimHash over word n-gram tokens:
-    bit_j = sign(sum over tokens of (bit_j(xxhash64(tok)) ? +1 : -1))."""
-    toks = word_shingles(text_col, token_n)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _simhash_from_hashes_udf()(hashes)
+    return simhash_from_text(text_col)
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",

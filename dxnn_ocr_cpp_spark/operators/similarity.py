@@ -18,8 +18,10 @@ deterministic across runs/partitionings.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -77,6 +79,30 @@ def signature_col(vec_col, planes: list):
     return F.array(*bits)
 
 
+def _band_buckets_udf(planes_arr, bands: int):
+    """Vectorized kernel: embedding -> array<long>(bands) of packed
+    bit-bucket values. One numpy matmul per Arrow batch replaces
+    n_planes separate aggregate/zip_with Catalyst expressions (whose
+    literal hyperplane arrays blow up codegen) — the NPU-call-shaped
+    hybrid, same determinism (seeded planes, float64 matmul)."""
+    planes = np.asarray(planes_arr, dtype=np.float64)
+    rows_per_band = planes.shape[0] // bands
+    weights = (np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ planes.T) >= 0                       # (n, n_planes)
+        packed = (bits.reshape(n, bands, rows_per_band).astype(np.uint64)
+                  * weights).sum(axis=2).astype(np.int64)  # (n, bands)
+        return pd.Series(list(packed))
+
+    return band_buckets
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 32, bands: int = 8, dim: int = 64,
@@ -85,23 +111,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     with the query, then exact cosine + rank within candidates. Recall
     < 1.0 by design; the bench compares its hit-rate vs brute force."""
     planes = hyperplanes(dim, n_planes)
-    rows_per_band = n_planes // bands
+    bucket_udf = _band_buckets_udf(planes, bands)
 
     def with_buckets(df, idc):
-        sig = signature_col(as_double_array(F.col(vec_col)), planes)
         d = df.select(F.col(id_col).alias(idc),
                       as_double_array(F.col(vec_col)).alias(f"{idc}_vec"),
-                      sig.alias("sig"))
-        return d.select(
-            idc, f"{idc}_vec",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)])).alias("bucket"))
-                for b in range(bands)
-            ])).alias("bb")).select(idc, f"{idc}_vec", "bb.band", "bb.bucket")
+                      bucket_udf(as_double_array(F.col(vec_col))).alias("bks"))
+        return (d.select(idc, f"{idc}_vec",
+                         F.posexplode("bks").alias("band", "bucket")))
 
     cb = with_buckets(corpus, "nb_id")
     qb = with_buckets(queries, "query_id")
