@@ -182,7 +182,9 @@ class _Segmenter(HTMLParser):
                     depth=self._ctx_depth,
                     pos=self._ctx_pos,
                     text_raw=text,
-                    n_text_chars=sum(1 for c in text if not c.isspace()),
+                    # non-ws char count at C speed; str.split() uses the
+                    # same whitespace definition as str.isspace()
+                    n_text_chars=sum(map(len, text.split())),
                     n_link_chars=self._link_chars,
                     n_tags=self._n_tags,
                 ))
@@ -256,19 +258,178 @@ class _Segmenter(HTMLParser):
             return
         self._parts.append(data)
         if self.link_depth:
-            self._link_chars += sum(1 for c in data if not c.isspace())
+            self._link_chars += sum(map(len, data.split()))
 
     def close(self):
         super().close()
         self._flush()
 
 
+# --- fast tokenizer (drives the SAME _Segmenter state machine) ---
+#
+# html.parser spends ~70% of segmentation time in its own goahead/
+# parse_starttag/parse_endtag machinery (full attribute parsing we never
+# use, per-token position bookkeeping). This tokenizer emits the same
+# handler-call sequence for well-formed and commonly-malformed HTML with
+# a str.find + anchored-regex loop — measured ~2.5x faster. The
+# html.parser engine stays available (engine="ref") as the reference
+# model, and tests/test_htmlseg_properties.py asserts block-for-block
+# parity on the corpus and fuzzed inputs — the analog of the reference's
+# server/mobile model pair, minus the accuracy loss
+# (/root/reference/README.md:170-179).
+
+import html as _html_mod
+import html.parser as _parser_mod
+
+_RAWTEXT = ("script", "style")  # html.parser CDATA_CONTENT_ELEMENTS
+# reuse the stdlib's battle-tested tolerant regexes (they are compiled
+# C-speed patterns; html.parser's cost is the surrounding machinery —
+# attribute unescaping, updatepos, dispatch — which we skip entirely)
+_LOCATE_RE = _parser_mod.locatestarttagend_tolerant
+_TAGFIND_RE = _parser_mod.tagfind_tolerant
+_ATTRFIND_RE = _parser_mod.attrfind_tolerant
+_ENDTAG_RE = _parser_mod.endtagfind             # </ \s* name \s* >
+_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
+_RAWTEXT_END = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT}
+
+
+def _fast_feed(seg: "_Segmenter", text: str) -> None:
+    unescape = _html_mod.unescape
+    data = seg.handle_data
+    find = text.find
+    i, n = 0, len(text)
+
+    def incomplete(lt: int) -> int:
+        # html.parser goahead rule for a construct with no terminator:
+        # unescaped data from '<' through the next '>', else up to the
+        # next '<' (excl., parsing resumes there), else one char
+        k = find(">", lt + 1)
+        if k < 0:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        chunk = text[lt:k]
+        data(unescape(chunk) if "&" in chunk else chunk)
+        return k
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            chunk = text[i:]
+            data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > i:
+            chunk = text[i:lt]
+            data(unescape(chunk) if "&" in chunk else chunk)
+        c = text[lt + 1:lt + 2]
+        if c.isalpha():
+            # parse_starttag/check_for_whole_start_tag semantics via the
+            # stdlib's own tolerant regexes, minus attribute parsing
+            m = _LOCATE_RE.match(text, lt)
+            j = m.end()
+            nxt = text[j:j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/" and text.startswith("/>", j):
+                endpos = j + 2
+            elif nxt == "" or nxt == "/" or nxt == "=" or (
+                    nxt.isascii() and nxt.isalpha()):
+                # EOF mid-tag / mid-attribute -> goahead incomplete rule
+                i = incomplete(lt)
+                continue
+            else:  # bogus junk inside tag: raw data to j, resume there
+                data(text[lt:j])
+                i = j
+                continue
+            mt = _TAGFIND_RE.match(text, lt + 1)
+            name = mt.group(1).lower()
+            i = endpos
+            if "/" in text[mt.end():endpos - 1]:
+                # a '/' among the attrs: parse_starttag decides between
+                # <x/>, <x a/ b> etc. by what the attr loop leaves over
+                k = mt.end()
+                while True:
+                    ma = _ATTRFIND_RE.match(text, k)
+                    if ma is None:
+                        break
+                    k = ma.end()
+                tail = text[k:endpos].strip()
+                if tail == "/>":
+                    seg.handle_startendtag(name, [])
+                    continue
+                if tail != ">":  # junk in start tag: raw data, move on
+                    data(text[lt:endpos])
+                    continue
+            # else: locate and the attr loop consume identically -> '>'
+            seg.handle_starttag(name, [])
+            if name in _RAWTEXT:
+                # rawtext: no tags, no charrefs until a *strict*
+                # '</name>' close; a '</name junk>' stays content
+                # (parse_endtag cdata_elem branch)
+                scan = i
+                while True:
+                    mc = _RAWTEXT_CLOSE[name].search(text, scan)
+                    if mc is None:
+                        i = n  # unterminated rawtext swallows the rest
+                        break
+                    me = _RAWTEXT_END[name].match(text, mc.start())
+                    if me is None:
+                        scan = mc.start() + 2
+                        continue
+                    data(text[i:mc.start()])
+                    seg.handle_endtag(name)
+                    i = me.end()
+                    break
+        elif c == "/":
+            gt = find(">", lt + 1)
+            if gt < 0:  # parse_endtag incomplete -> goahead rule
+                i = incomplete(lt)
+                continue
+            m = _ENDTAG_RE.match(text, lt)
+            if m is not None:
+                seg.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            nm = _TAGFIND_RE.match(text, lt + 2)
+            if nm is not None:  # '</name junk>' closes name
+                seg.handle_endtag(nm.group(1).lower())
+                gt2 = find(">", nm.end())
+                i = gt2 + 1 if gt2 >= 0 else n
+            elif text.startswith("</>", lt):
+                i = lt + 3
+            else:  # bogus comment: swallowed to '>'
+                i = gt + 1
+        elif c == "!":
+            if text.startswith("!--", lt + 1):
+                e = find("-->", lt + 4)
+                i = e + 3 if e >= 0 else incomplete(lt)
+            elif text.startswith("![CDATA[", lt + 1):
+                e = find("]]>", lt + 9)
+                i = e + 3 if e >= 0 else incomplete(lt)
+            else:  # <!doctype ...> and friends
+                gt = find(">", lt)
+                i = gt + 1 if gt >= 0 else incomplete(lt)
+        elif c == "?":  # processing instruction
+            gt = find(">", lt)
+            i = gt + 1 if gt >= 0 else incomplete(lt)
+        else:  # bare '<' (incl. '<3', '< ', trailing '<'): literal data
+            data("<")
+            i = lt + 1
+
+
 def segment_html(raw: bytes | None,
                  max_candidates: int = 1500,
                  max_html_bytes: int = 20 << 20,
-                 sniff_bytes: int = 2048) -> SegmentResult:
+                 sniff_bytes: int = 2048,
+                 engine: str = "fast") -> SegmentResult:
     """One document -> candidate blocks. Never raises (F8/F9 analog:
-    empty/broken input still yields a result row)."""
+    empty/broken input still yields a result row).
+
+    engine: "fast" (regex tokenizer, production default) or "ref"
+    (stdlib html.parser, the reference model both engines must match).
+    """
     if raw is None:
         return SegmentResult([], 0, False, "null", False)
     oversized = len(raw) > max_html_bytes
@@ -277,8 +438,12 @@ def segment_html(raw: bytes | None,
     text, charset = decode_html(raw, sniff_bytes)
     seg = _Segmenter(max_candidates)
     try:
-        seg.feed(text)
-        seg.close()
+        if engine == "fast":
+            _fast_feed(seg, text)
+            seg._flush()
+        else:
+            seg.feed(text)
+            seg.close()
     except Exception:
         # malformed beyond the tolerant parser: emit what we have
         seg._flush()

@@ -68,3 +68,39 @@ def test_block_invariants(s):
         assert b.n_text_chars == sum(
             1 for c in b.text_raw if not c.isspace())
         assert 0 <= b.n_link_chars <= b.n_text_chars
+
+
+# --- fast-vs-ref engine parity (the server/mobile model-pair analog,
+# /root/reference/README.md:170-179 — except ours must match exactly) ---
+
+def _key(r):
+    return ([(b.tag, b.tag_path, b.depth, b.pos, b.text_raw,
+              b.n_text_chars, b.n_link_chars, b.n_tags) for b in r.blocks],
+            r.n_candidates, r.truncated, r.charset, r.oversized)
+
+
+hostile = st.one_of(
+    piece,
+    st.sampled_from([
+        "<p<SCRIPT>", "</script y>", "<p</b>", "<a 'x'>", "<b =>", "</>",
+        "<a href='x>y'>", "<br / >", "<div", "<!--", "<![CDATA[", "<?pi",
+        "<script>no close", "</ p>", "</p attr>", "<3", "< div>",
+    ]),
+)
+hostile_soup = st.lists(hostile, max_size=40).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(hostile_soup)
+def test_fast_engine_matches_reference_engine(s):
+    raw = s.encode("utf-8", "surrogatepass")
+    assert _key(segment_html(raw, engine="fast")) == \
+        _key(segment_html(raw, engine="ref"))
+
+
+def test_fast_engine_matches_reference_on_corpus():
+    from dxnn_ocr_cpp_spark.corpus import make_document
+    for i in range(400):  # covers every edge-doc residue class
+        raw = make_document(i)["html"]
+        assert _key(segment_html(raw, engine="fast")) == \
+            _key(segment_html(raw, engine="ref")), f"doc {i}"
