@@ -32,15 +32,30 @@ from dxnn_ocr_cpp_spark.partitioning import salted_repartition
 def extract(documents: DataFrame,
             cfg: ExtractionConfig = DEFAULT_CONFIG,
             repartition_to: int | None = None,
+            size_route: bool = False,
             keep_intermediate: bool = False) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> extracted
     (url, text, n_spans, n_candidates, charset [, seg, scored, spans]).
 
     Output is a pure per-row function of (url, html, cfg): byte-identical
     under any partitioning/parallelism (the north-rule invariant).
+
+    size_route=True routes docs to partitions by html byte length
+    (range partitioning, xxhash64(url) tie-break) — the analog of the
+    reference's size-based model dispatch + ratio-bucket batching
+    (/root/reference/src/detection/text_detector.cpp:150-173,
+     /root/reference/src/recognition/text_recognizer.cpp:135-183):
+    each Arrow batch then holds similar-size docs, bounding per-batch
+    memory variance and keeping giant pages from straggling one task.
+    Costs one shuffle of the raw bytes, so it is OFF by default (the
+    zero-shuffle path wins locally); turn it on at cluster scale when
+    the size distribution is heavy-tailed.
     """
     df = documents.select("url", "html")  # column pruning before the UDF (X12)
-    if repartition_to:
+    if size_route and repartition_to:
+        df = df.repartitionByRange(
+            repartition_to, F.length("html"), F.xxhash64("url"))
+    elif repartition_to:
         df = salted_repartition(df, repartition_to, salt_buckets=cfg.salt_buckets)
     df = with_blocks(df, cfg)                  # stage 1
     df = with_scored_blocks(df, cfg)           # stage 2

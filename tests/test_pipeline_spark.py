@@ -48,9 +48,11 @@ class TestDeterminism:
         a = as_map(extract(docs.repartition(1)).collect())
         b = as_map(extract(docs.repartition(16)).collect())
         c = as_map(extract(docs, repartition_to=7).collect())
-        assert a.keys() == b.keys() == c.keys()
+        # P2/X4 size-routed dispatch must not change a single byte
+        d = as_map(extract(docs, repartition_to=5, size_route=True).collect())
+        assert a.keys() == b.keys() == c.keys() == d.keys()
         for u in a:
-            assert a[u]["text"] == b[u]["text"] == c[u]["text"]
+            assert a[u]["text"] == b[u]["text"] == c[u]["text"] == d[u]["text"]
 
     def test_rerun_identical(self, spark, docs):
         a = as_map(extract(docs).collect())
