@@ -242,6 +242,22 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, threshold=0.4)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint pairs: docs sharing >=20
+    local fingerprints = substantial copied passages (Schleimer et al.,
+    SIGMOD 2003). Threshold calibrated on the corpus: template-level
+    sharing tops out at n_common~11 (p99.9), seeded near-dup pairs
+    cluster at 20-55. Engine-specific hash mixing -> rows-only check;
+    kernel guarantees pinned in tests/test_winnow.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import winnow_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (winnow_pairs(d, min_common=20)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("n_common").cast("long").alias("n_common")))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash hamming<=8 near-dup pairs (engine-specific xxhash64 bit
     mixing -> rows-only check)."""
@@ -370,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_pairs": q_winnow_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -584,7 +601,7 @@ ORACLES: dict[str, str] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    # minhash_lsh_pairs / simhash_pairs / embedding_lsh_topk /
+    # minhash_lsh_pairs / simhash_pairs / winnow_pairs / embedding_lsh_topk /
     # extract_corpus are deliberately omitted: probabilistic candidate
     # sets or pure-UDF stages -> driver rows-only check; byte-level
     # extraction correctness is enforced by tests/test_golden.py.

@@ -124,3 +124,81 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality_score", quality_score(t))
             .withColumn("lang_pred", lang_id(t))
             .withColumn("fingerprint", fingerprint(t)))
+
+
+# ---------- winnowing (rolling-hash) fingerprints ----------
+# Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003) — the standard local fingerprinting
+# scheme: any shared substring of length >= w + k - 1 between two docs
+# is GUARANTEED to share a fingerprint. Complements the global schemes
+# in operators/dedup.py (MinHash estimates whole-doc similarity;
+# winnowing localizes copied passages).
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+_WINNOW_BASE = np.uint64(1099511628211)  # FNV-1a prime, odd => 2^64-invertible
+
+
+def _winnow_one(s, k: int, w: int) -> np.ndarray:
+    """One doc -> sorted distinct winnowed k-gram hashes (int64 view).
+    Pure function of the canonicalized text; numpy uint64 arithmetic
+    wraps mod 2^64 by design (the rolling-hash modulus)."""
+    if s is None:
+        return np.empty(0, dtype=np.int64)
+    canon = " ".join(s.lower().split())
+    raw = np.frombuffer(canon.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(raw)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash modulus
+        powers = np.empty(min(k, n), dtype=np.uint64)
+        powers[-1] = 1
+        for j in range(len(powers) - 1, 0, -1):
+            powers[j - 1] = powers[j] * _WINNOW_BASE
+        if n <= k:  # doc shorter than one gram: hash the whole thing
+            return np.array([(raw * powers).sum(dtype=np.uint64)]).view(np.int64)
+        grams = np.lib.stride_tricks.sliding_window_view(raw, k)
+        hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+    if len(hashes) <= w:
+        sel = hashes[[len(hashes) - 1 - hashes[::-1].argmin()]]
+    else:
+        hw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+        # rightmost minimum per window (the paper's robust-winnowing tie
+        # rule), then dedupe repeated selections of the same position
+        idx = (w - 1) - hw[:, ::-1].argmin(axis=1)
+        sel = hashes[np.unique(idx + np.arange(len(hw)))]
+    return np.unique(sel).view(np.int64)
+
+
+def winnow_fingerprints(text_col, k: int = 8, w: int = 16):
+    """array<long> of winnowed rolling-hash fingerprints per doc — one
+    vectorized-batch kernel (same Arrow-hop shape as the segmenter)."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        return pd.Series([_winnow_one(s, k, w) for s in texts])
+
+    return winnow(text_col)
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 8, w: int = 16,
+                 min_common: int = 3,
+                 max_fp_df: int = 1000) -> DataFrame:
+    """Doc pairs sharing >= min_common winnowed fingerprints — i.e.
+    pairs with at least one (likely several) copied passage(s) of
+    length >= w+k-1 chars. Same inverted-index shape as
+    ngram_jaccard_pairs: explode, cap hot fingerprints (skew guard,
+    candidate-cap analog of db_postprocess.cpp:53), bucket-local join,
+    count. Never O(n^2)."""
+    fp = df.select(F.col(id_col).alias("id"),
+                   winnow_fingerprints(F.col(text_col), k, w).alias("fp"))
+    ex = fp.select("id", F.explode("fp").alias("h"))
+    hot = ex.groupBy("h").count().filter(F.col("count") > max_fp_df).select("h")
+    ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    return (ex.alias("x").join(ex.alias("y"), "h")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
