@@ -19,6 +19,10 @@ class ExtractionConfig:
     max_candidates: int = 1500      # candidate cap, ref db_postprocess.cpp:53
     max_html_bytes: int = 20 << 20  # request-size guard, ref ocr_handler.cpp:38-124
     sniff_bytes: int = 2048         # charset sniff window (head-sample, ref P5)
+    parser_engine: str = "fast"     # "fast" regex tokenizer | "ref" stdlib
+                                    # html.parser — the server/mobile model
+                                    # pair analog (ref README.md:170-179),
+                                    # block-for-block identical (fuzz-tested)
     # stage-2 scoring (classifier analog)
     box_thresh: float = 0.5         # block score threshold, ref boxThresh=0.6
     max_link_density: float = 0.66  # hard gate analog of cls conf>0.9

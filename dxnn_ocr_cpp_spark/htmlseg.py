@@ -324,7 +324,7 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
             chunk = text[i:lt]
             data(unescape(chunk) if "&" in chunk else chunk)
         c = text[lt + 1:lt + 2]
-        if c.isalpha():
+        if c.isascii() and c.isalpha():  # starttagopen is ASCII-only
             # parse_starttag/check_for_whole_start_tag semantics via the
             # stdlib's own tolerant regexes, minus attribute parsing
             m = _LOCATE_RE.match(text, lt)

@@ -28,7 +28,8 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
     """Per-document segmentation -> plain dict matching SEGMENT_RESULT.
     Exposed separately so unit tests and goldens exercise the exact
     production code path without a JVM."""
-    res = segment_html(raw, cfg.max_candidates, cfg.max_html_bytes, cfg.sniff_bytes)
+    res = segment_html(raw, cfg.max_candidates, cfg.max_html_bytes,
+                       cfg.sniff_bytes, engine=cfg.parser_engine)
     blocks = []
     for b in res.blocks:
         t = normalize_text(b.text_raw)

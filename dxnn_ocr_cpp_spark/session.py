@@ -35,6 +35,9 @@ def build_session(app: str = "dxnn_ocr_cpp_spark",
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+         # bytes-based batch backpressure (Spark 4): even if 512 rows of
+         # near-cap 20MB html blobs land together, batches split at 32MB
+         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 << 20))
          .config("spark.sql.files.maxPartitionBytes", "128m")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))

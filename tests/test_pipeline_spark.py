@@ -60,6 +60,15 @@ class TestDeterminism:
         assert {u: r["text"] for u, r in a.items()} == \
                {u: r["text"] for u, r in b.items()}
 
+    def test_parser_engine_invariance(self, spark, docs):
+        """fast and ref parser engines are interchangeable per-run
+        params (OCRTaskConfig analog) with byte-identical output."""
+        a = as_map(extract(docs).collect())
+        b = as_map(extract(
+            docs, cfg=ExtractionConfig(parser_engine="ref")).collect())
+        assert {u: r["text"] for u, r in a.items()} == \
+               {u: r["text"] for u, r in b.items()}
+
 
 class TestEdgeRows:
     def test_empty_body_row_preserved(self, spark, docs):
