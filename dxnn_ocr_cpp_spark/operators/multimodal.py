@@ -66,11 +66,14 @@ def featurize_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
                 if use_real_decoder:
                     try:
                         _decode_image(payload)
+                        # REAL-ENCODER SLOT: replace the fake with the
+                        # model feature of the decoded image
+                        feats.append(_fake_feature(payload).tolist())
                         status.append("decoded")
                     except NotImplementedError:
                         feats.append(_fake_feature(payload).tolist())
                         status.append("stub-fallback")
-                        continue
+                    continue
                 feats.append(_fake_feature(payload).tolist())
                 status.append("stubbed")
             yield pd.DataFrame({
@@ -96,3 +99,41 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             .select("media_id",
                     "frame_idx",
                     (F.col("frame_idx") * every_ms).alias("frame_ts_ms")))
+
+
+RESIZE_SCHEMA = ("media_id string, payload binary, out_width int, "
+                 "out_height int, resize_status string")
+
+
+def resize_media(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize operator (the reference's pad/resize preprocessing
+    analog, /root/reference/src/preprocessing/image_ops.cpp:31-58:
+    cap the max side, preserve aspect). The pixel kernel is the stubbed
+    slot; the output-geometry arithmetic, schema, and mapInPandas batch
+    shape are real and tested.
+
+    Aspect-preserving target dims from metadata:
+      scale = max_side / max(w, h) (never upscale), floored like the
+      reference floors to multiples (here: floor to int).
+    """
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            w = pdf["width"].fillna(0).astype("int64")
+            h = pdf["height"].fillna(0).astype("int64")
+            m = np.maximum(w.to_numpy(), h.to_numpy())
+            scale = np.where(m > max_side, max_side / np.maximum(m, 1), 1.0)
+            out_w = np.maximum((w.to_numpy() * scale).astype("int64"), 1)
+            out_h = np.maximum((h.to_numpy() * scale).astype("int64"), 1)
+            # REAL-RESIZE SLOT: PIL Image.resize((out_w, out_h)); the
+            # stub passes payload bytes through unchanged, flagged
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"],
+                "out_width": out_w.astype("int32"),
+                "out_height": out_h.astype("int32"),
+                "resize_status": ["stub-passthrough"] * n,
+            })
+
+    return (df.select("media_id", "payload", "width", "height")
+            .mapInPandas(run, schema=RESIZE_SCHEMA))

@@ -52,3 +52,19 @@ def test_frame_sample_plan(spark, media):
     # only the video row explodes; 4200ms -> frames at 0..3999
     assert {(r["media_id"], r["frame_idx"], r["frame_ts_ms"]) for r in frames} \
         == {("vid-1", i, i * 1000) for i in range(4)}
+
+
+def test_resize_media_geometry(spark, media):
+    from dxnn_ocr_cpp_spark.operators.multimodal import resize_media
+    out = {r.media_id: r for r in resize_media(media, max_side=32).collect()}
+    assert len(out) == 4
+    # 64x48 -> scale 0.5 -> 32x24 (aspect preserved, max side capped)
+    assert (out["img-1"].out_width, out["img-1"].out_height) == (32, 24)
+    # 32x32 already within cap -> unchanged (never upscale)
+    assert (out["img-2"].out_width, out["img-2"].out_height) == (32, 32)
+    # 640x360 -> 32x18
+    assert (out["vid-1"].out_width, out["vid-1"].out_height) == (32, 18)
+    # null dims clamp to 1x1; payload passthrough flagged
+    assert (out["aud-1"].out_width, out["aud-1"].out_height) == (1, 1)
+    assert all(r.resize_status == "stub-passthrough" for r in out.values())
+    assert out["img-1"].payload == ROWS[0][2]
