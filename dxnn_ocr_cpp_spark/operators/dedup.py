@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dxnn_ocr_cpp_spark.operators.textstats import fingerprint
+from dxnn_ocr_cpp_spark.operators.textstats import (exploded_hash_rows,
+                                                    fingerprint)
 
 # Java-regex \s class (what Spark's regexp_replace(\s+) matches) — NOT
 # Python's Unicode-aware \s; keeps tokenization bit-compatible with the
@@ -131,29 +132,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Shingles are pre-hashed to int64 (word_shingle_hashes) so the
     explode/join shuffles carry 8-byte keys, not n-word strings.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    word_shingle_hashes(F.col(text_col), n).alias("sh"))
-            .withColumn("n_sh", F.size("sh")))
-    sizes = sh.select("id", "n_sh")
-    ex = sh.select("id", F.explode("sh").alias("g"))
-    # frequency cap (bounded work per key — candidate-cap analog)
-    hot = ex.groupBy("g").count().filter(F.col("count") > max_shingle_df).select("g")
-    ex = ex.join(F.broadcast(hot), "g", "left_anti")
-    pairs = (ex.alias("x").join(ex.alias("y"), "g")
+    # set size rides along on every exploded row (8 bytes) so the final
+    # jaccard needs NO join back to a recomputed shingle table; the
+    # Python-side explosion avoids the dead duplicate UDF eval that
+    # F.explode(udf(...)) plans (see textstats.exploded_hash_rows)
+    ex = exploded_hash_rows(df, id_col, text_col,
+                            lambda s: _gram_hashes(s, n))
+    # frequency cap (bounded work per key — candidate-cap analog),
+    # expressed as a window count over the SAME hash-partitioning the
+    # self-join needs: one exchange serves the cap, both join sides
+    # (ReusedExchange), and the join's sort
+    exf = (ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+             .filter(F.col("df") <= F.lit(max_shingle_df)).drop("df"))
+    pairs = (exf.alias("x").join(exf.alias("y"), "g")
              .filter(F.col("x.id") < F.col("y.id"))
              .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-             .agg(F.count(F.lit(1)).cast("int").alias("common")))
-    out = (pairs
-           .join(sizes.withColumnRenamed("id", "a")
-                      .withColumnRenamed("n_sh", "na"), "a")
-           .join(sizes.withColumnRenamed("id", "b")
-                      .withColumnRenamed("n_sh", "nb"), "b")
-           .withColumn("jaccard",
-                       F.col("common")
-                       / (F.col("na") + F.col("nb") - F.col("common")))
-           .filter(F.col("jaccard") >= threshold)
-           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
-    return out
+             .agg(F.count(F.lit(1)).cast("int").alias("common"),
+                  F.first(F.col("x.n")).alias("na"),     # constant per a
+                  F.first(F.col("y.n")).alias("nb")))    # constant per b
+    return (pairs
+            .withColumn("jaccard",
+                        F.col("common")
+                        / (F.col("na") + F.col("nb") - F.col("common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
 # ---------- MinHash + LSH ----------

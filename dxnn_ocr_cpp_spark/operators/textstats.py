@@ -141,6 +141,32 @@ from pyspark.sql import types as T
 _WINNOW_BASE = np.uint64(1099511628211)  # FNV-1a prime, odd => 2^64-invertible
 
 
+def exploded_hash_rows(df: DataFrame, id_col: str, text_col: str,
+                       per_doc_fn) -> DataFrame:
+    """(id, n, g) inverted-index rows — the doc's hash-set size n rides
+    on every exploded row — via ONE mapInPandas hop with the explosion
+    done Python-side (np.repeat/concatenate).
+
+    Exists because `F.explode(pandas_udf(...))` plans a dead duplicate
+    ArrowEvalPython node under the Generate (the UDF executes twice per
+    reference); doing the 1->N expansion inside the same Arrow batch
+    sidesteps that and also skips the Generate operator entirely."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            hs = [per_doc_fn(t) for t in pdf[text_col]]
+            lens = np.fromiter((len(h) for h in hs), np.int64, len(hs))
+            yield pd.DataFrame({
+                "id": np.repeat(ids, lens),
+                "n": np.repeat(lens, lens).astype(np.int32),
+                "g": (np.concatenate([h for h in hs if len(h)])
+                      if lens.sum() else np.empty(0, np.int64)),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema="id long, n int, g long")
+
+
 def _winnow_one(s, k: int, w: int) -> np.ndarray:
     """One doc -> sorted distinct winnowed k-gram hashes (int64 view).
     Pure function of the canonicalized text; numpy uint64 arithmetic
@@ -192,12 +218,14 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     ngram_jaccard_pairs: explode, cap hot fingerprints (skew guard,
     candidate-cap analog of db_postprocess.cpp:53), bucket-local join,
     count. Never O(n^2)."""
-    fp = df.select(F.col(id_col).alias("id"),
-                   winnow_fingerprints(F.col(text_col), k, w).alias("fp"))
-    ex = fp.select("id", F.explode("fp").alias("h"))
-    hot = ex.groupBy("h").count().filter(F.col("count") > max_fp_df).select("h")
-    ex = ex.join(F.broadcast(hot), "h", "left_anti")
-    return (ex.alias("x").join(ex.alias("y"), "h")
+    from pyspark.sql import Window
+    ex = exploded_hash_rows(df, id_col, text_col,
+                            lambda s: _winnow_one(s, k, w)).drop("n")
+    # hot-fingerprint cap via window count over the same hash
+    # partitioning the self-join needs (one exchange serves both)
+    exf = (ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+             .filter(F.col("df") <= F.lit(max_fp_df)).drop("df"))
+    return (exf.alias("x").join(exf.alias("y"), "g")
             .filter(F.col("x.id") < F.col("y.id"))
             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
             .agg(F.count(F.lit(1)).cast("int").alias("n_common"))
