@@ -114,11 +114,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bucket_udf = _band_buckets_udf(planes, bands)
 
     def with_buckets(df, idc):
-        d = df.select(F.col(id_col).alias(idc),
-                      as_double_array(F.col(vec_col)).alias(f"{idc}_vec"),
-                      bucket_udf(as_double_array(F.col(vec_col))).alias("bks"))
-        return (d.select(idc, f"{idc}_vec",
-                         F.posexplode("bks").alias("band", "bucket")))
+        # posexplode applied DIRECTLY to the UDF call in one select —
+        # materializing the array in its own select first makes Spark
+        # plan a dead duplicate ArrowEvalPython under the Generate
+        pre = df.select(F.col(id_col).alias(idc),
+                        as_double_array(F.col(vec_col)).alias(f"{idc}_vec"))
+        return pre.select(
+            idc, f"{idc}_vec",
+            F.posexplode(bucket_udf(F.col(f"{idc}_vec")))
+             .alias("band", "bucket"))
 
     cb = with_buckets(corpus, "nb_id")
     qb = with_buckets(queries, "query_id")
