@@ -242,6 +242,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, threshold=0.4)
 
 
+def q_pdf_roundtrip(spark, sf_dir):
+    """PDF source coverage (S5 analog, /root/reference/server/pdf_handler.h):
+    build a deterministic FlateDecode PDF per doc from its text, parse
+    it back with the pure-Python content-stream extractor, verify the
+    text survives byte-exactly. The oracle asserts all-true, so any
+    extraction regression fails the value-hash gate."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.pdftext import pdf_roundtrip_ok
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    pdf_roundtrip_ok(F.col("text")).alias("roundtrip_ok"))
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprint pairs: docs sharing >=20
     local fingerprints = substantial copied passages (Schleimer et al.,
@@ -387,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "winnow_pairs": q_winnow_pairs,
+        "pdf_roundtrip": q_pdf_roundtrip,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -560,6 +574,10 @@ ORACLES: dict[str, str] = {
           FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
         FROM pairs WHERE common / (na + nb - common) >= 0.4
+    """,
+    "pdf_roundtrip": """
+        SELECT doc_id, CAST(true AS BOOLEAN) AS roundtrip_ok
+        FROM documents
     """,
     "base64_roundtrip": """
         SELECT doc_id,

@@ -49,3 +49,15 @@ def test_recall_floor_and_nprobe_monotone(spark, emb, index):
     assert recalls[0] >= 0.4              # useful even at nprobe=4/16
     assert recalls == sorted(recalls)     # more probes never hurt
     assert recalls[2] == 1.0              # nprobe=n_lists == exhaustive
+
+
+def test_lsh_recall_floor(spark, emb):
+    """Hyperplane-LSH hit-rate vs the exact top-k (the docstring's
+    promised comparison): measured 0.60 at sf0.01 with the default
+    32-plane/8-band config; pin a floor with margin."""
+    from dxnn_ocr_cpp_spark.operators.similarity import lsh_topk
+    q = emb.filter("vec_id < 8")
+    bf = {(r.query_id, r.nb_id)
+          for r in brute_force_topk(emb, q, k=5).collect()}
+    ls = {(r.query_id, r.nb_id) for r in lsh_topk(emb, q, k=5).collect()}
+    assert len(bf & ls) / len(bf) >= 0.45

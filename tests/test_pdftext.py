@@ -1,0 +1,120 @@
+"""PDF text extraction tests (operators/pdftext.py) — synthetic PDFs
+constructed in-test (uncompressed + FlateDecode), page ordering via the
+page tree, string escapes/hex/UTF-16BE, garbage tolerance, and the
+Spark 1->N page fan-out + J4 reassembly."""
+
+import zlib
+
+import pytest
+
+from dxnn_ocr_cpp_spark.operators.pdftext import parse_pdf, pdf_pages
+
+
+def make_pdf(page_contents, compress=False) -> bytes:
+    """Minimal well-formed PDF: catalog -> pages -> N (page, content)."""
+    n = len(page_contents)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    for i, content in enumerate(page_contents):
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append((3 + 2 * i,
+                     f"<< /Type /Page /Parent 2 0 R /Contents "
+                     f"{4 + 2 * i} 0 R >>".encode()))
+        objs.append((4 + 2 * i,
+                     b"<< " + filt + f"/Length {len(data)} >>".encode()
+                     + b"\nstream\n" + data + b"\nendstream"))
+    out = b"%PDF-1.4\n"
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    return out + b"%%EOF"
+
+
+def tj(text: str) -> bytes:
+    return f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode("latin-1")
+
+
+class TestParse:
+    def test_two_pages_in_order(self):
+        pdf = make_pdf([tj("first page"), tj("second page")])
+        assert parse_pdf(pdf) == [(0, "first page", "ok"),
+                                  (1, "second page", "ok")]
+
+    def test_flate_compressed(self):
+        pdf = make_pdf([tj("compressed text")], compress=True)
+        assert parse_pdf(pdf) == [(0, "compressed text", "ok")]
+
+    def test_escapes_octal_hex_utf16(self):
+        content = (rb"BT (a\(b\)c \\ \101) Tj "
+                   rb"<48656C6C6F> Tj "
+                   rb"[(He) -30 (llo)] TJ "
+                   rb"<FEFF00480069> Tj ET")
+        pdf = make_pdf([content])
+        [(_, text, status)] = parse_pdf(pdf)
+        assert status == "ok"
+        assert text == "a(b)c \\ AHelloHelloHi"
+
+    def test_next_line_show_operators(self):
+        pdf = make_pdf([rb"BT (one) Tj (two) ' ET".replace(b"'", b"'")])
+        [(_, text, _)] = parse_pdf(pdf)
+        assert text == "one\ntwo"
+
+    def test_unsupported_filter_flagged(self):
+        raw = make_pdf([tj("x")]).replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+        [(_, text, status)] = parse_pdf(raw)
+        assert status == "needs-decoder:DCTDecode" and text == ""
+
+    def test_garbage_and_none(self):
+        assert parse_pdf(None) == [(0, "", "not-pdf")]
+        assert parse_pdf(b"\x00\xffgarbage") == [(0, "", "not-pdf")]
+        assert parse_pdf(b"%PDF-1.4 broken")[0][2] in ("parse-error", "no-pages")
+
+    def test_page_without_contents(self):
+        pdf = make_pdf([tj("x")]).replace(b"/Contents 4 0 R ", b"")
+        assert parse_pdf(pdf) == [(0, "", "no-text")]
+
+    def test_deterministic(self):
+        pdf = make_pdf([tj("abc"), tj("def")], compress=True)
+        assert parse_pdf(pdf) == parse_pdf(pdf)
+
+
+class TestSpark:
+    def test_fanout_and_reassembly(self, spark):
+        from pyspark.sql import functions as F
+        rows = [
+            (1, make_pdf([tj("p one"), tj("p two"), tj("p three")])),
+            (2, make_pdf([tj("solo")], compress=True)),
+            (3, b"not a pdf"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+        pages = pdf_pages(df)
+        got = {(r.id, r.page_idx): (r.text, r.status) for r in pages.collect()}
+        assert got[(1, 0)] == ("p one", "ok")
+        assert got[(1, 2)] == ("p three", "ok")
+        assert got[(2, 0)] == ("solo", "ok")
+        assert got[(3, 0)] == ("", "not-pdf")
+        # J4 reassembly: pageIndex-ordered concat per doc
+        docs = (pages.filter(F.col("status") == "ok")
+                .groupBy("id")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("page_idx", "text"))),
+                        lambda s: s["text"]), "\n").alias("text")))
+        out = {r.id: r.text for r in docs.collect()}
+        assert out[1] == "p one\np two\np three"
+
+
+def test_build_pdf_roundtrip_corpus_texts():
+    """build_pdf -> parse_pdf roundtrips arbitrary unicode text (the
+    pdf_roundtrip driver query's invariant)."""
+    from dxnn_ocr_cpp_spark.operators.pdftext import build_pdf
+    cases = ["plain", "parens (and) \\ stuff", "数据页面 unicode 。",
+             "  ws  ", "", "line\nbreaks\nkept"]
+    for t in cases:
+        pages = parse_pdf(build_pdf([t], compress=True))
+        assert len(pages) == 1
+        assert pages[0][1] == t.strip()
