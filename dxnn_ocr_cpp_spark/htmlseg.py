@@ -135,8 +135,8 @@ class _Segmenter(HTMLParser):
     def __init__(self, max_candidates: int):
         super().__init__(convert_charrefs=True)
         self.max_candidates = max_candidates
-        # open-element stack: (tag, child_counter_dict)
-        self.stack: list = [("", {})]
+        # open-element stack: (path, child_counter_dict, tag)
+        self.stack: list = [("", {}, "")]
         self.skip_depth = 0
         self.link_depth = 0
         self.pos = 0
@@ -153,20 +153,19 @@ class _Segmenter(HTMLParser):
 
     # -- path bookkeeping --
     def _push(self, tag: str) -> str:
-        counters = self.stack[-1][1]
-        counters[tag] = counters.get(tag, 0) + 1
-        seg = f"{tag}[{counters[tag]}]"
-        parent_path = self.stack[-1][0]
-        path = f"{parent_path}/{seg}" if parent_path else seg
-        self.stack.append((path, {}))
+        parent_path, counters, _ = self.stack[-1]
+        c = counters.get(tag, 0) + 1
+        counters[tag] = c
+        path = f"{parent_path}/{tag}[{c}]" if parent_path else f"{tag}[{c}]"
+        self.stack.append((path, {}, tag))
         return path
 
     def _pop(self, tag: str) -> None:
         # pop to the nearest matching open element; ignore stray closers
-        for i in range(len(self.stack) - 1, 0, -1):
-            seg = self.stack[i][0].rsplit("/", 1)[-1]
-            if seg.split("[", 1)[0] == tag:
-                del self.stack[i:]
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i][2] == tag:
+                del stack[i:]
                 return
 
     # -- run/block bookkeeping --
@@ -201,12 +200,12 @@ class _Segmenter(HTMLParser):
     def _reinherit_ctx(self) -> None:
         """After closing a block element, text that follows (the 'tail')
         belongs to the nearest enclosing block element still open."""
-        for i in range(len(self.stack) - 1, 0, -1):
-            path = self.stack[i][0]
-            tag = path.rsplit("/", 1)[-1].split("[", 1)[0]
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            tag = stack[i][2]
             if tag in BLOCK_TAGS:
                 self._ctx_tag = tag
-                self._ctx_path = path
+                self._ctx_path = stack[i][0]
                 self._ctx_depth = i
                 self._ctx_pos = self.pos
                 return
