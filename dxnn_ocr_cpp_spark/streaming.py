@@ -127,3 +127,16 @@ def stream_sessionize(events_stream: DataFrame,
             .withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def stream_dedup_urls(docs_stream: DataFrame,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each url
+    within the watermark horizon (dropDuplicatesWithinWatermark keeps
+    bounded state — a crawler re-fetches the same url across WARC
+    segments, and unbounded dropDuplicates state would grow forever at
+    10^12-doc scale). The batch twin is operators/dedup.exact_dedup."""
+    return (docs_stream
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url"]))

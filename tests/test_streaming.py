@@ -103,3 +103,25 @@ def test_stream_host_stats_state_across_batches(spark, tmp_path):
                 F.sum(F.length("text")).alias("bytes"))).collect()
     assert {(r["host"], r["docs"], r["bytes"]) for r in got} == \
            {(r["host"], r["docs"], r["bytes"]) for r in exp}
+
+
+def test_stream_dedup_urls(spark, tmp_path):
+    """First occurrence per url survives; re-fetches within the
+    watermark horizon are dropped; state stays bounded."""
+    from dxnn_ocr_cpp_spark.streaming import (read_documents_stream,
+                                              stream_dedup_urls)
+    src = str(tmp_path / "docs_dup")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    docs = generate_documents_df(spark, 30, partitions=3)
+    # duplicate every row (same url, same ts) => half must be dropped
+    docs.union(docs).write.mode("overwrite").parquet(src)
+    stream = read_documents_stream(spark, src, max_files_per_trigger=2)
+    q = (stream_dedup_urls(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert got.select("url").distinct().count() == 30
