@@ -21,6 +21,7 @@ exec spark-submit \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
+  --conf spark.sql.execution.arrow.maxBytesPerBatch=33554432 \
   --conf spark.sql.shuffle.partitions=2000 \
   --conf spark.executor.memory=16g \
   --conf spark.executor.cores=8 \
