@@ -278,16 +278,38 @@ class _Segmenter(HTMLParser):
 # (/root/reference/README.md:170-179).
 
 import html as _html_mod
-import html.parser as _parser_mod
 
 _RAWTEXT = ("script", "style")  # html.parser CDATA_CONTENT_ELEMENTS
-# reuse the stdlib's battle-tested tolerant regexes (they are compiled
-# C-speed patterns; html.parser's cost is the surrounding machinery —
-# attribute unescaping, updatepos, dispatch — which we skip entirely)
-_LOCATE_RE = _parser_mod.locatestarttagend_tolerant
-_TAGFIND_RE = _parser_mod.tagfind_tolerant
-_ATTRFIND_RE = _parser_mod.attrfind_tolerant
-_ENDTAG_RE = _parser_mod.endtagfind             # </ \s* name \s* >
+# Pinned copies of html.parser's tolerant regexes (CPython 3.11) — NOT
+# imported from the stdlib module: those are undocumented privates that
+# security patches have reshaped before, and importing them would tie
+# our parse semantics (and golden outputs) to whatever the host Python
+# ships. The engine-parity property tests cross-check against the live
+# html.parser and will surface any stdlib drift explicitly.
+_LOCATE_RE = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""", re.VERBOSE)
+_TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_RE = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*")
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# marked-section machinery (parse_marked_section analogs)
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_MS_CLOSE_RE = re.compile(r"]\s*>")
 _RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
 _RAWTEXT_END = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT}
 
@@ -404,9 +426,22 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
             if text.startswith("!--", lt + 1):
                 e = find("-->", lt + 4)
                 i = e + 3 if e >= 0 else incomplete(lt)
-            elif text.startswith("![CDATA[", lt + 1):
-                e = find("]]>", lt + 9)
-                i = e + 3 if e >= 0 else incomplete(lt)
+            elif text.startswith("![", lt + 1):
+                # SGML marked section (parse_marked_section semantics):
+                # known keywords close on ']\s*]\s*>' (or ']\s*>' for MS
+                # conditionals), content dropped; a bad/unknown keyword
+                # raises in html.parser -> the parse truncates here
+                nm = _DECLNAME_RE.match(text, lt + 3)
+                if nm is None:
+                    break
+                kw = nm.group().strip().lower()
+                if kw in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    mc = _MARKED_CLOSE_RE.search(text, lt + 3)
+                elif kw in ("if", "else", "endif"):
+                    mc = _MS_CLOSE_RE.search(text, lt + 3)
+                else:
+                    break
+                i = mc.end() if mc is not None else incomplete(lt)
             else:  # <!doctype ...> and friends
                 gt = find(">", lt)
                 i = gt + 1 if gt >= 0 else incomplete(lt)

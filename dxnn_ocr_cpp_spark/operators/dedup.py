@@ -79,26 +79,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- word n-gram shingles (shared) ----------
 
-def _distinct_word_ngrams(text_col, n: int):
-    """Distinct word n-grams of the canonicalized text (unsorted —
-    every consumer is a set operation, so ordering is pure cost)."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
-    grams = F.transform(
-        # 0 .. size-n inclusive; greatest() keeps the sequence ascending
-        # for short docs (the when() below selects the `short` branch)
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    short = F.array(F.array_join(words, " "))  # doc shorter than n words
-    return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(short))
-
-
-def word_shingles(text_col, n: int = 3):
-    """Array of word n-grams of the canonicalized text (distinct,
-    sorted for determinism)."""
-    return F.array_sort(_distinct_word_ngrams(text_col, n))
-
-
 def word_shingle_hashes(text_col, n: int = 3):
     """Distinct word n-grams hashed to int64, via ONE vectorized-batch
     pandas UDF (the sanctioned Arrow hop, same shape as the segmenter).

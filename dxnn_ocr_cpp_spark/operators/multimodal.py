@@ -119,12 +119,14 @@ def resize_media(df: DataFrame, max_side: int = 224) -> DataFrame:
     def run(batches):
         for pdf in batches:
             n = len(pdf)
-            w = pdf["width"].fillna(0).astype("int64")
-            h = pdf["height"].fillna(0).astype("int64")
-            m = np.maximum(w.to_numpy(), h.to_numpy())
+            w = pdf["width"].fillna(0).astype("int64").to_numpy()
+            h = pdf["height"].fillna(0).astype("int64").to_numpy()
+            m = np.maximum(w, h)
             scale = np.where(m > max_side, max_side / np.maximum(m, 1), 1.0)
-            out_w = np.maximum((w.to_numpy() * scale).astype("int64"), 1)
-            out_h = np.maximum((h.to_numpy() * scale).astype("int64"), 1)
+            # round, don't truncate: 277 * (224/277) = 223.999... must
+            # come out 224 — the long side of a downscale IS max_side
+            out_w = np.maximum(np.rint(w * scale).astype("int64"), 1)
+            out_h = np.maximum(np.rint(h * scale).astype("int64"), 1)
             # REAL-RESIZE SLOT: PIL Image.resize((out_w, out_h)); the
             # stub passes payload bytes through unchanged, flagged
             yield pd.DataFrame({

@@ -42,13 +42,11 @@ _CONTENTS_RE = re.compile(
 _FILTER_RE = re.compile(rb"/Filter\s*(?:/(\w+)|\[\s*/(\w+)[^\]]*\])")
 _PAGES_ROOT_RE = re.compile(rb"/Type\s*/Pages\b")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
-# text-showing operators inside BT..ET: literal string, hex string,
-# TJ array, and the operator token that follows
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_SHOW_RE = re.compile(
-    rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|\[(?:[^\]\\]|\\.)*\])\s*"
-    rb"(Tj|TJ|'|\")", re.DOTALL)
-_ARRAY_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_NAME_TOKEN_RE = re.compile(rb"/[^\s()<>\[\]/%]*")
+_OPNUM_RE = re.compile(rb"[^\s()<>\[\]/%]+")
+_PDF_WS = b" \t\r\n\x0c\x00"
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -80,13 +78,13 @@ def _unescape_literal(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_string_token(tok: bytes) -> str:
-    """One PDF string token -> text. UTF-16BE when BOM-prefixed,
-    PDFDocEncoding~latin-1 otherwise (the simple-font case)."""
-    if tok.startswith(b"("):
-        raw = _unescape_literal(tok[1:-1])
-    else:  # <hex>
-        hx = re.sub(rb"\s+", b"", tok[1:-1])
+def _decode_inner(kind: str, raw: bytes) -> str:
+    """Inner bytes of one string token -> text. UTF-16BE when
+    BOM-prefixed, PDFDocEncoding~latin-1 otherwise (simple fonts)."""
+    if kind == "str":
+        raw = _unescape_literal(raw)
+    else:  # hex
+        hx = re.sub(rb"\s+", b"", raw)
         if len(hx) % 2:
             hx += b"0"
         try:
@@ -98,18 +96,113 @@ def _decode_string_token(tok: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def _stream_text(data: bytes) -> str:
-    parts = []
-    for block in _BT_RE.findall(data):
-        for operand, op in _SHOW_RE.findall(block):
-            if op == b"TJ":
-                for s in _ARRAY_STR_RE.findall(operand):
-                    parts.append(_decode_string_token(s))
+def _iter_tokens(data: bytes):
+    """Sequential content-stream tokenizer: strings (with PDF's nested
+    balanced parens + escapes) and dicts are atoms, so operator names
+    appearing INSIDE string data ('NET gains' contains 'ET') can never
+    be mistaken for operators — the bug class a regex scan has."""
+    i, n = 0, len(data)
+    find = data.find
+    while i < n:
+        c = data[i:i + 1]
+        if c in _PDF_WS:
+            i += 1
+        elif c == b"(":
+            depth, j = 1, i + 1
+            buf = bytearray()
+            while j < n and depth:
+                ch = data[j:j + 1]
+                if ch == b"\\":
+                    buf += data[j:j + 2]
+                    j += 2
+                elif ch == b"(":
+                    depth += 1
+                    buf += ch
+                    j += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth:
+                        buf += ch
+                    j += 1
+                else:
+                    buf += ch
+                    j += 1
+            yield ("str", bytes(buf))
+            i = j
+        elif c == b"<":
+            if data[i:i + 2] == b"<<":  # dict: skip balanced, dropped
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    two = data[j:j + 2]
+                    if two == b"<<":
+                        depth += 1
+                        j += 2
+                    elif two == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                i = j
             else:
-                if op in (b"'", b'"'):
-                    parts.append("\n")  # next-line show operators
-                parts.append(_decode_string_token(operand))
-        parts.append("\n")  # block boundary
+                e = find(b">", i + 1)
+                if e < 0:
+                    return
+                yield ("hex", data[i + 1:e])
+                i = e + 1
+        elif c in (b"[", b"]"):
+            i += 1  # array delimiters: strings inside accumulate as operands
+        elif c == b"%":
+            e = find(b"\n", i)
+            i = n if e < 0 else e + 1
+        elif c == b"/":
+            m = _NAME_TOKEN_RE.match(data, i)
+            i = m.end() if m else i + 1
+        else:
+            m = _OPNUM_RE.match(data, i)
+            if m is None:
+                i += 1
+                continue
+            yield ("op", m.group())
+            i = m.end()
+
+
+def _stream_text(data: bytes) -> str:
+    """Walk tokens; string operands accumulate until a text-show
+    operator consumes them (Tj/'/" take the last, TJ takes all);
+    numbers are operands (never clear), any other operator clears."""
+    parts = []
+    in_text = False
+    pending = []
+    for kind, val in _iter_tokens(data):
+        if kind != "op":
+            if in_text:
+                pending.append(_decode_inner(kind, val))
+            continue
+        lead = val[:1]
+        if lead.isdigit() or lead in (b"+", b"-", b"."):
+            continue  # numeric operand
+        if val == b"BT":
+            in_text, pending = True, []
+        elif val == b"ET":
+            if in_text:
+                parts.append("\n")  # block boundary
+            in_text, pending = False, []
+        elif not in_text:
+            continue
+        elif val == b"Tj":
+            if pending:
+                parts.append(pending[-1])
+            pending = []
+        elif val == b"TJ":
+            parts.extend(pending)
+            pending = []
+        elif val in (b"'", b'"'):
+            parts.append("\n")  # next-line show operators
+            if pending:
+                parts.append(pending[-1])
+            pending = []
+        else:  # any other operator consumed its operands
+            pending = []
     return "".join(parts).strip()
 
 
@@ -139,11 +232,27 @@ def parse_pdf(raw: bytes | None) -> list:
                 for rm in _REF_RE.finditer(km.group(1)):
                     walk(int(rm.group(1)), depth + 1)
 
-        roots = [oid for oid, b in objs.items()
-                 if _PAGES_ROOT_RE.search(b) and not _KIDS_RE.search(b) is None
-                 and not _PAGE_RE.search(b)]
-        for r in sorted(roots):
+        # root resolution: /Catalog's /Pages ref is authoritative —
+        # walking every /Pages node would visit intermediate tree nodes
+        # in object-id order and scramble page order for nested trees
+        cat_roots = [int(m.group(1))
+                     for _, b in sorted(objs.items())
+                     if _CATALOG_RE.search(b)
+                     and (m := _PAGES_REF_RE.search(b)) is not None]
+        for r in cat_roots:
             walk(r)
+        if not page_ids:  # no/broken catalog: top-level /Pages nodes,
+            # i.e. those not referenced as a Kid of another /Pages
+            kid_ids = {int(rm.group(1))
+                       for _, b in objs.items() if _PAGES_ROOT_RE.search(b)
+                       for km in _KIDS_RE.finditer(b)
+                       for rm in _REF_RE.finditer(km.group(1))}
+            for r in sorted(oid for oid, b in objs.items()
+                            if _PAGES_ROOT_RE.search(b)
+                            and _KIDS_RE.search(b) is not None
+                            and not _PAGE_RE.search(b)
+                            and oid not in kid_ids):
+                walk(r)
         if not page_ids:
             page_ids = sorted(o for o, b in objs.items() if _PAGE_RE.search(b))
         if not page_ids:

@@ -70,15 +70,6 @@ def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> list:
     return rs.standard_normal((n_planes, dim)).tolist()
 
 
-def signature_col(vec_col, planes: list):
-    """Bit signature as array<int> of 0/1 (sign of projection)."""
-    bits = []
-    for p in planes:
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec_col, lit) >= 0, 1).otherwise(0))
-    return F.array(*bits)
-
-
 def _band_buckets_udf(planes_arr, bands: int):
     """Vectorized kernel: embedding -> array<long>(bands) of packed
     bit-bucket values. One numpy matmul per Arrow batch replaces

@@ -52,9 +52,12 @@ def extract(documents: DataFrame,
     the size distribution is heavy-tailed.
     """
     df = documents.select("url", "html")  # column pruning before the UDF (X12)
-    if size_route and repartition_to:
-        df = df.repartitionByRange(
-            repartition_to, F.length("html"), F.xxhash64("url"))
+    if size_route:
+        # default the partition count rather than silently ignoring the
+        # routing request when repartition_to is omitted
+        n = repartition_to or int(
+            documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(n, F.length("html"), F.xxhash64("url"))
     elif repartition_to:
         df = salted_repartition(df, repartition_to, salt_buckets=cfg.salt_buckets)
     df = with_blocks(df, cfg)                  # stage 1

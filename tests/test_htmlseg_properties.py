@@ -84,7 +84,9 @@ hostile = st.one_of(
     st.sampled_from([
         "<p<SCRIPT>", "</script y>", "<p</b>", "<a 'x'>", "<b =>", "</>",
         "<a href='x>y'>", "<br / >", "<div", "<!--", "<![CDATA[", "<?pi",
-        "<script>no close", "</ p>", "</p attr>", "<3", "< div>",
+        "<script>no close", "</ p>", "</p attr>", "<3", "< div>", "<À",
+        "<![CDATA[x ] ]>", "<![foo]]>", "<![cdata[x > y]]>", "<![ ",
+        "<![if mso]>", "<![endif]>", "<![rcdata j ]  ]  >",
     ]),
 )
 hostile_soup = st.lists(hostile, max_size=40).map("".join)

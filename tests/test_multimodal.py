@@ -68,3 +68,18 @@ def test_resize_media_geometry(spark, media):
     assert (out["aud-1"].out_width, out["aud-1"].out_height) == (1, 1)
     assert all(r.resize_status == "stub-passthrough" for r in out.values())
     assert out["img-1"].payload == ROWS[0][2]
+
+
+def test_resize_long_side_exact(spark):
+    """Rounding regression: 277x277 @ max 224 must give 224, not 223
+    (float truncation made ~16% of sizes come out max_side-1)."""
+    from dxnn_ocr_cpp_spark.operators.multimodal import resize_media
+    rows = [("a", "image", b"x", "image/png", 277, 277, None),
+            ("b", "image", b"x", "image/png", 299, 299, None),
+            ("c", "image", b"x", "image/png", 314, 158, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: (r.out_width, r.out_height)
+           for r in resize_media(df, max_side=224).collect()}
+    assert out["a"] == (224, 224)
+    assert out["b"] == (224, 224)
+    assert out["c"] == (224, 113)  # round(158*224/314) = 113

@@ -118,3 +118,49 @@ def test_build_pdf_roundtrip_corpus_texts():
         pages = parse_pdf(build_pdf([t], compress=True))
         assert len(pages) == 1
         assert pages[0][1] == t.strip()
+
+
+def _craft(content: bytes) -> bytes:
+    return (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+
+
+class TestTokenizerRegressions:
+    """Findings from adversarial review: operator names inside string
+    data, nested balanced parens, ']' inside TJ strings, nested page
+    trees — each previously broke the regex-scan parser."""
+
+    def test_operator_names_inside_text(self):
+        from dxnn_ocr_cpp_spark.operators.pdftext import build_pdf
+        t = "NET gains and BT losses GET SET"
+        assert parse_pdf(build_pdf([t], compress=True)) == [(0, t, "ok")]
+
+    def test_nested_balanced_parens(self):
+        assert parse_pdf(_craft(b"BT ((a(b)c)) Tj ET")) == \
+            [(0, "(a(b)c)", "ok")]
+
+    def test_bracket_inside_tj_string(self):
+        assert parse_pdf(_craft(b"BT [(br]kt) -20 (ok)] TJ ET")) == \
+            [(0, "br]ktok", "ok")]
+
+    def test_nested_page_tree_order(self):
+        nested = (
+            b"%PDF-1.4\n"
+            b"9 0 obj\n<< /Type /Catalog /Pages 8 0 R >>\nendobj\n"
+            b"8 0 obj\n<< /Type /Pages /Kids [3 0 R 1 0 R] /Count 2 >>\nendobj\n"
+            b"1 0 obj\n<< /Type /Pages /Parent 8 0 R /Kids [5 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 8 0 R /Contents 4 0 R >>\nendobj\n"
+            b"5 0 obj\n<< /Type /Page /Parent 1 0 R /Contents 6 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length 20 >>\nstream\nBT (FIRST) Tj ET\nendstream\nendobj\n"
+            b"6 0 obj\n<< /Length 21 >>\nstream\nBT (SECOND) Tj ET\nendstream\nendobj\n"
+            b"%%EOF")
+        assert parse_pdf(nested) == [(0, "FIRST", "ok"),
+                                     (1, "SECOND", "ok")]
+
+    def test_dicts_comments_and_operands_skipped(self):
+        c = b"% comment\nBT << /D 1 >> (keep) Tj 1 0 0 1 5 5 Tm (two) Tj ET"
+        assert parse_pdf(_craft(c)) == [(0, "keeptwo", "ok")]
