@@ -200,7 +200,8 @@ def q_quality_scores(spark, sf_dir):
         f["n_tokens"].cast("long").alias("n_tokens"),
         F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality_score"))
+        F.round(quality_score(F.col("text"), features=f), 6)
+        .alias("quality_score"))
 
 
 def q_lang_id_hist(spark, sf_dir):
@@ -272,12 +273,14 @@ def q_winnow_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash hamming<=8 near-dup pairs (engine-specific xxhash64 bit
-    mixing -> rows-only check)."""
+    """SimHash hamming<=3 near-dup pairs. 3 is the radius the
+    pigeonhole candidate join guarantees complete recall for with
+    4x16-bit pieces (pieces = d+1); engine-specific hash bit mixing ->
+    rows-only check."""
     _prep(spark)
     from dxnn_ocr_cpp_spark.operators.dedup import simhash_pairs
     d = _t(spark, sf_dir, "documents")
-    return (simhash_pairs(d, max_hamming=8)
+    return (simhash_pairs(d, max_hamming=3)
             .select(F.col("a").cast("long").alias("a"),
                     F.col("b").cast("long").alias("b"),
                     F.col("hamming").cast("long").alias("hamming")))
@@ -413,13 +416,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------- DuckDB oracles ----------------
 
-_STOPWORDS_EN = ("the a an and or of to in is are was were be on for with "
-                 "as at this that it by from").split()
-_STOP_RE = r"\b(" + "|".join(_STOPWORDS_EN) + r")\b"
-_EN_RE = r"\b(the|and|of|to|is)\b"
-_DE_RE = r"\b(der|die|und|ist|nicht)\b"
-_ES_RE = r"\b(el|la|los|es|una)\b"
-_FR_RE = r"\b(le|les|des|est|une)\b"
+# marker/stopword lists come FROM the engine module — one source of
+# truth, so tuning textstats.py can never desynchronize the oracles
+from dxnn_ocr_cpp_spark.operators.textstats import (LANG_MARKERS,
+                                                    STOPWORDS_EN,
+                                                    _marker_regex)
+
+_STOP_RE = _marker_regex(STOPWORDS_EN)
+_EN_RE = _marker_regex(LANG_MARKERS["en"])
+_DE_RE = _marker_regex(LANG_MARKERS["de"])
+_ES_RE = _marker_regex(LANG_MARKERS["es"])
+_FR_RE = _marker_regex(LANG_MARKERS["fr"])
 
 _QUALITY_SQL = f"""
 WITH f AS (
@@ -565,13 +572,23 @@ ORACLES: dict[str, str] = {
                min(doc_id) AS keep_id, count(*) AS n_dupes
         FROM documents GROUP BY 1
     """,
+    # mirrors the engine exactly, INCLUDING the hot-shingle df cap
+    # (df > 1000 shingles are dropped from the inverted index before
+    # pair counting, while set sizes na/nb stay pre-cap — the same
+    # skew-guard semantics the Spark operator implements)
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLE_CTE},
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+        freq AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+        exf AS (SELECT ex.doc_id, ex.n, ex.g
+                FROM ex JOIN freq USING (g) WHERE freq.c <= 1000),
         pairs AS (
           SELECT x.doc_id AS a, y.doc_id AS b,
-                 len(list_intersect(x.sh, y.sh))::DOUBLE AS common,
-                 len(x.sh) AS na, len(y.sh) AS nb
-          FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+                 count(*)::DOUBLE AS common,
+                 any_value(x.n) AS na, any_value(y.n) AS nb
+          FROM exf x JOIN exf y USING (g)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2)
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
         FROM pairs WHERE common / (na + nb - common) >= 0.4
     """,

@@ -32,9 +32,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
 
-# corpus size tracks the sf of the relational tables (FIXTURES.md §1)
-CORPUS_DOCS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
-N_DOCS = CORPUS_DOCS.get(pathlib.Path(SF_DIR).name, 20000)
 # scaling measurement needs enough work to amortize fixed overheads:
 # each level pays ~5s of per-job driver/scheduling cost regardless of
 # cores (measured: 4*T16 - T4 residual), which any real long-running

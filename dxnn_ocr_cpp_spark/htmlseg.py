@@ -433,7 +433,13 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
                 # raises in html.parser -> the parse truncates here
                 nm = _DECLNAME_RE.match(text, lt + 3)
                 if nm is None:
-                    break
+                    if lt + 3 >= n:  # EOF right after '<![': incomplete
+                        i = incomplete(lt)
+                        continue
+                    break  # non-name char: html.parser raises -> truncate
+                if nm.end() >= n:  # keyword touches EOF: incomplete
+                    i = incomplete(lt)
+                    continue
                 kw = nm.group().strip().lower()
                 if kw in ("temp", "cdata", "ignore", "include", "rcdata"):
                     mc = _MARKED_CLOSE_RE.search(text, lt + 3)

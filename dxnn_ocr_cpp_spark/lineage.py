@@ -86,11 +86,14 @@ class CheckpointedRun:
 
     def run_stage(self, stage: str, df_fn, inputs_done: DataFrame | None = None,
                   bytes_in_col: str | None = None,
-                  bytes_out_col: str | None = None) -> DataFrame:
+                  bytes_out_col: str | None = None,
+                  force: bool = False) -> DataFrame:
         """Execute-or-resume one stage. `df_fn()` builds the stage
-        DataFrame lazily; it only runs when the checkpoint is absent."""
+        DataFrame lazily; it only runs when the checkpoint is absent —
+        or when `force` says an upstream stage was extended and this
+        derived checkpoint is stale."""
         t0 = time.monotonic()
-        if not self.has_stage(stage):
+        if force or not self.has_stage(stage):
             df = df_fn()
             df.write.mode("overwrite").parquet(self._stage_path(stage))
             out = self.read_stage(stage)
@@ -100,6 +103,40 @@ class CheckpointedRun:
             (lin.coalesce(1).write.mode("append")
                 .parquet(f"{self.root}/_lineage"))
         return self.read_stage(stage)
+
+    def run_incremental_stage(self, stage: str, inputs: DataFrame, df_fn,
+                              key: str = "url",
+                              bytes_in_col: str | None = None,
+                              bytes_out_col: str | None = None):
+        """Execute-or-extend one keyed stage: inputs already present in
+        the checkpoint are skipped (anti-join on `key`); the rest are
+        processed and APPENDED. This is the real per-doc resume — a
+        prior run that completed over a subset of the corpus (or a
+        re-submission with new documents) only pays for the missing
+        keys. Returns (stage DataFrame, appended: bool) so callers can
+        invalidate stages derived from this one.
+
+        df_fn(todo) must emit >=1 row per input key (F8: block-less
+        docs still get a null-block row) or resume would re-do them.
+        """
+        t0 = time.monotonic()
+        if not self.has_stage(stage):
+            df_fn(inputs).write.mode("overwrite").parquet(self._stage_path(stage))
+            appended = True
+        else:
+            todo = self.resume_filter(inputs, stage, key=key)
+            appended = not todo.isEmpty()
+            if appended:
+                df_fn(todo).write.mode("append").parquet(self._stage_path(stage))
+        if appended:
+            out = self.read_stage(stage)
+            wall = (time.monotonic() - t0) * 1000.0
+            lin = lineage_rows(out, self.run_id, stage,
+                               bytes_in_col, bytes_out_col) \
+                .withColumn("wall_ms", F.lit(wall))
+            (lin.coalesce(1).write.mode("append")
+                .parquet(f"{self.root}/_lineage"))
+        return self.read_stage(stage), appended
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE).parquet(f"{self.root}/_lineage")

@@ -101,7 +101,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
                         max_shingle_df: int = 1000) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (a, b, jaccard >= t).
+    """Exact n-gram Jaccard near-dup pairs (a, b, jaccard >= t) over
+    the df-capped inverted index: shingles appearing in more than
+    max_shingle_df docs are excluded from pair counting (skew guard)
+    while set sizes stay pre-cap — on corpora where the cap never
+    fires (any sane threshold) this IS exact Jaccard, and the DuckDB
+    oracle mirrors the cap bit-for-bit either way.
 
     Inverted-index pair generation: explode shingles, drop shingles
     appearing in > max_shingle_df docs (frequency cap = skew guard:
@@ -231,18 +236,33 @@ def simhash64(text_col, token_n: int = 2):
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
-    the 4-piece pigeonhole trick: split the 64-bit hash into 4 16-bit
-    pieces; any pair within distance 3 agrees exactly on >=1 piece ->
-    equi-join per piece, then exact hamming filter. No O(n^2)."""
+    the pigeonhole trick: split the 64-bit hash into max_hamming+1
+    pieces; any pair within the distance agrees exactly on >=1 piece ->
+    equi-join per piece, then exact hamming filter. No O(n^2), and
+    COMPLETE recall (pieces = d+1 is what the guarantee requires —
+    a fixed 4-piece split would silently miss d>3 pairs differing in
+    all four pieces). d is capped at 7: narrower than 8-bit pieces
+    bucket half the corpus together and the join degenerates."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in [0, 7] "
+                         "(pieces = d+1 at >=8 bits each)")
+    n_pieces = max_hamming + 1
+    width = 64 // n_pieces  # remainder bits ride in the last piece
     s = df.select(F.col(id_col).alias("id"),
                   simhash64(F.col(text_col)).alias("sim"))
+
+    def piece_val(p: int):
+        bits = 64 - p * width if p == n_pieces - 1 else width
+        shifted = F.shiftright("sim", p * width)
+        if bits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     pieces = s.select(
         "id", "sim",
         F.explode(F.array(*[
-            F.struct(F.lit(p).alias("piece"),
-                     F.shiftright("sim", p * 16)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("val"))
-            for p in range(4)
+            F.struct(F.lit(p).alias("piece"), piece_val(p).alias("val"))
+            for p in range(n_pieces)
         ])).alias("pc")).select("id", "sim", "pc.piece", "pc.val")
     cand = (pieces.alias("x").join(pieces.alias("y"), ["piece", "val"])
             .filter(F.col("x.id") < F.col("y.id"))

@@ -59,7 +59,11 @@ def lloyd_refine(corpus: DataFrame, centroids: list, iters: int = 2,
             "list_id", _argmax(_centroid_sims(F.col("v"), centroids)))
         means = (assigned
                  .select("list_id", F.posexplode("v").alias("dim", "x"))
-                 .groupBy("list_id", "dim").agg(F.avg("x").alias("m"))
+                 # rounded: distributed float avg merges partial sums in
+                 # shuffle-fetch arrival order, so raw low-order bits are
+                 # run-dependent; 1e-9 quantization makes the centroids
+                 # (and every downstream cell assignment) bit-stable
+                 .groupBy("list_id", "dim").agg(F.round(F.avg("x"), 9).alias("m"))
                  .groupBy("list_id")
                  .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
                       .alias("c"))

@@ -323,7 +323,10 @@ def pdf_pages(df: DataFrame, id_col: str = "doc_id",
 
 def _pdf_string(s: str) -> bytes:
     """Encode one text as a PDF string token: escaped literal when
-    latin-1-safe, BOM-prefixed UTF-16BE hex string otherwise."""
+    latin-1-safe, BOM-prefixed UTF-16BE hex string otherwise.
+    None -> empty string (null text rows must not kill the batch)."""
+    if s is None:
+        s = ""
     try:
         raw = s.encode("latin-1")
         raw = raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")

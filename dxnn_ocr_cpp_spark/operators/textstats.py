@@ -95,11 +95,13 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, features: dict | None = None) -> Column:
     """Gopher/C4-flavoured heuristic in [0,1]: length term * alpha
     term * stopword presence term. Fixed formula (documented here,
-    mirrored in oracle SQL)."""
-    f = quality_features(text)
+    mirrored in oracle SQL). Pass an already-built quality_features
+    dict when projecting features alongside the score — the regex
+    scans are the expensive part and Catalyst does not CSE them."""
+    f = features if features is not None else quality_features(text)
     length_term = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     alpha_term = F.least(f["alpha_ratio"] * F.lit(1.25), F.lit(1.0))
     stop_term = F.least(f["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
@@ -121,7 +123,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_tokens", f["n_tokens"])
             .withColumn("alpha_ratio", f["alpha_ratio"])
             .withColumn("stopword_ratio", f["stopword_ratio"])
-            .withColumn("quality_score", quality_score(t))
+            .withColumn("quality_score", quality_score(t, features=f))
             .withColumn("lang_pred", lang_id(t))
             .withColumn("fingerprint", fingerprint(t)))
 

@@ -152,14 +152,13 @@ def extract_checkpointed(spark, documents: DataFrame, root: str,
     run = CheckpointedRun(spark, root, run_id=run_id)
 
     # stage 1+2: parse + score, exploded for a columnar checkpoint.
-    # Resume semantics: only docs absent from the checkpoint are parsed.
-    def build_blocks():
-        todo = run.resume_filter(documents, "blocks", key="url")
-        # url universe must survive even for block-less docs (F8):
-        # emit a null-block row per url so resume sees it as done
-        return extract_blocks(todo, cfg)
-
-    blocks = run.run_stage("blocks", build_blocks, bytes_out_col="text")
+    # Resume semantics: only docs absent from the checkpoint are parsed
+    # and their blocks appended (the url universe survives even for
+    # block-less docs, F8: extract_blocks emits a null-block row per
+    # url, so resume sees them as done).
+    blocks, blocks_extended = run.run_incremental_stage(
+        "blocks", documents, lambda todo: extract_blocks(todo, cfg),
+        key="url", bytes_out_col="text")
 
     # stage 3: emission from the checkpoint — window re-sort replaces
     # the array sort (the blocks left their row at the checkpoint
@@ -188,6 +187,8 @@ def extract_checkpointed(spark, documents: DataFrame, root: str,
             "url", txt.alias("text"),
             F.size("ks").cast("int").alias("n_spans"))
 
+    # blocks_extended => any existing extracted checkpoint is stale
+    # (it was derived from fewer blocks) and must be rebuilt
     extracted = run.run_stage("extracted", build_extracted,
-                              bytes_out_col="text")
+                              bytes_out_col="text", force=blocks_extended)
     return extracted, run

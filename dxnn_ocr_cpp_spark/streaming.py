@@ -47,18 +47,26 @@ def stream_extract(docs_stream: DataFrame, out_path: str,
                    run_id: str = "stream"):
     """Continuous extraction with exactly-once parquet sink.
 
-    foreachBatch gets the SAME lazy extract() plan per micro-batch;
-    checkpointing makes replays idempotent (batch id recorded). Lineage
-    rows are appended per batch — the streaming version of X15.
+    foreachBatch gets the SAME lazy extract() plan per micro-batch.
+    Exactly-once needs the WRITER to be idempotent on batch_id (the
+    checkpoint only dedupes input batches, not partial output writes):
+    each batch overwrites its own batch=<id> directory, so a replay
+    after a mid-write crash rewrites the same files instead of
+    appending duplicates. Lineage rows follow the same scheme — the
+    streaming version of X15.
     """
     from dxnn_ocr_cpp_spark.lineage import lineage_rows
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract(batch_df, cfg)
-        out.write.mode("append").parquet(f"{out_path}/data")
-        (lineage_rows(out, run_id, f"emit-batch-{batch_id}",
+        data_path = f"{out_path}/data/batch={batch_id}"
+        extract(batch_df, cfg).write.mode("overwrite").parquet(data_path)
+        # lineage from the files just written (not the lazy plan, which
+        # would re-run extraction a second time)
+        written = batch_df.sparkSession.read.parquet(data_path)
+        (lineage_rows(written, run_id, f"emit-batch-{batch_id}",
                       bytes_out_col="text")
-         .coalesce(1).write.mode("append").parquet(f"{out_path}/_lineage"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{out_path}/_lineage/batch={batch_id}"))
 
     return (docs_stream.writeStream
             .foreachBatch(sink)

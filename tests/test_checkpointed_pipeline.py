@@ -49,23 +49,49 @@ def test_crash_between_stages_resumes_without_reparse(spark, docs, tmp_path):
 
 
 def test_partial_blocks_resume(spark, docs, tmp_path):
-    """Crash mid-stage-1: half the urls checkpointed; resume parses
-    only the other half and the union equals a clean run."""
+    """Stage 1 completed over HALF the corpus (crash / earlier subset
+    run); re-running extract_checkpointed over the full corpus must
+    parse only the other half, append it, rebuild the derived stage,
+    and byte-equal a clean run — through the public API."""
     root = str(tmp_path / "r3")
     from dxnn_ocr_cpp_spark.lineage import CheckpointedRun
     from dxnn_ocr_cpp_spark.pipeline import extract_blocks
 
     half = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
     pre = CheckpointedRun(spark, root, run_id="half")
-    pre.run_stage("blocks", lambda: extract_blocks(half), bytes_out_col="text")
-    # simulate stage-1 re-entry: wipe the _SUCCESS-gated stage dir is NOT
-    # needed — extract_checkpointed's resume_filter appends the rest
-    done = pre.read_stage("blocks").select("url").distinct().count()
-    assert done == half.select("url").count()
+    pre.run_incremental_stage("blocks", half,
+                              lambda todo: extract_blocks(todo),
+                              key="url", bytes_out_col="text")
+    assert pre.read_stage("blocks").select("url").distinct().count() \
+        == half.select("url").count()
 
-    # manual resume of stage 1 over the remaining docs, then stage 3
-    rest = pre.resume_filter(docs, "blocks")
-    assert rest.count() == docs.count() - half.count()
-    merged = pre.read_stage("blocks").unionByName(extract_blocks(rest))
-    merged_urls = merged.select("url").distinct().count()
-    assert merged_urls == docs.count()
+    ext, run = extract_checkpointed(spark, docs, root, run_id="resumed")
+    got = {r["url"]: r["text"] for r in ext.collect()}
+    exp = {r["url"]: r["text"] for r in extract(docs).collect()}
+    assert got == exp
+
+    # the blocks checkpoint holds each url exactly once (no re-parse
+    # of the pre-checkpointed half, no duplicates from the append)
+    blocks = run.read_stage("blocks")
+    assert blocks.select("url").distinct().count() == docs.count()
+    n_urls_with_dupes = (blocks.select("url", "block_id").distinct()
+                         .groupBy("url", "block_id").count()
+                         .filter(F.col("count") > 1).count())
+    assert n_urls_with_dupes == 0
+    # both runs appear in blocks lineage (pre wrote half, resume extended)
+    stages = {(r["run_id"], r["stage"])
+              for r in run.lineage().select("run_id", "stage").distinct().collect()}
+    assert ("half", "blocks") in stages and ("resumed", "blocks") in stages
+
+
+def test_resume_noop_when_complete(spark, docs, tmp_path):
+    """Re-running over an already-complete checkpoint does zero stage
+    work and writes no new lineage."""
+    root = str(tmp_path / "r4")
+    extract_checkpointed(spark, docs, root, run_id="first")
+    ext, run = extract_checkpointed(spark, docs, root, run_id="second")
+    assert ext.count() == docs.count()
+    stages = {(r["run_id"], r["stage"])
+              for r in run.lineage().select("run_id", "stage").distinct().collect()}
+    assert ("second", "blocks") not in stages
+    assert ("second", "extracted") not in stages

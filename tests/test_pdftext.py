@@ -164,3 +164,11 @@ class TestTokenizerRegressions:
     def test_dicts_comments_and_operands_skipped(self):
         c = b"% comment\nBT << /D 1 >> (keep) Tj 1 0 0 1 5 5 Tm (two) Tj ET"
         assert parse_pdf(_craft(c)) == [(0, "keeptwo", "ok")]
+
+
+def test_build_pdf_null_text():
+    """Null text rows (FIXTURES: the generator may leave text NULL)
+    must produce a valid empty-page PDF, not an AttributeError."""
+    from dxnn_ocr_cpp_spark.operators.pdftext import build_pdf
+    assert parse_pdf(build_pdf([None], compress=True)) == \
+        [(0, "", "no-text")]

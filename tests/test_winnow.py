@@ -73,3 +73,37 @@ class TestSpark:
         a = _winnow_one(rows[0][1], K, W)
         b = _winnow_one(rows[1][1], K, W)
         assert got[(0, 1)] == len(np.intersect1d(a, b))
+
+
+class TestSimhashRecall:
+    def test_pigeonhole_complete_recall(self, spark):
+        """pieces = max_hamming+1 guarantees EVERY pair within the
+        radius is a candidate (a fixed 4-piece split missed d>3 pairs
+        differing in all four pieces). Validated vs brute force."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from dxnn_ocr_cpp_spark.operators.dedup import (simhash64,
+                                                        simhash_pairs)
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for mh in (3, 6):
+            got = {(r.a, r.b)
+                   for r in simhash_pairs(d, max_hamming=mh).collect()}
+            sims = {r.id: r.sim for r in d.select(
+                F.col("doc_id").alias("id"),
+                simhash64(F.col("text")).alias("sim")).collect()}
+            ids = sorted(sims)
+            arr = np.array([sims[i] for i in ids],
+                           dtype=np.int64).astype(np.uint64)
+            want = {(ids[i], ids[j])
+                    for i in range(len(ids)) for j in range(i + 1, len(ids))
+                    if bin(int(arr[i] ^ arr[j])).count("1") <= mh}
+            assert got == want, f"recall hole at max_hamming={mh}"
+
+    def test_max_hamming_validated(self, spark):
+        import pytest as _pytest
+
+        from dxnn_ocr_cpp_spark.operators.dedup import simhash_pairs
+        d = spark.range(1).selectExpr("id as doc_id", "'x' as text")
+        with _pytest.raises(ValueError):
+            simhash_pairs(d, max_hamming=8)
