@@ -243,6 +243,29 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, threshold=0.4)
 
 
+def q_curate_keeplist(spark, sf_dir):
+    """The composed training-data curation pipeline — what the engine
+    exists for, as ONE query: exact-dedup survivor (min doc_id per
+    md5 fingerprint) AND quality_score >= 0.5 AND lang 'en'. Each leg
+    is an already-oracle-checked operator; this checks the composition
+    (window + filters chain) end-to-end against SQL."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import (fingerprint,
+                                                        lang_id,
+                                                        quality_score)
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (d.select("doc_id",
+                     fingerprint(F.col("text")).alias("fingerprint"),
+                     F.round(quality_score(F.col("text")), 6).alias("quality_score"),
+                     lang_id(F.col("text")).alias("lang_pred"))
+            .withColumn("keep_id", F.min("doc_id").over(w))
+            .filter((F.col("doc_id") == F.col("keep_id"))
+                    & (F.col("quality_score") >= 0.5)
+                    & (F.col("lang_pred") == "en"))
+            .select("doc_id", "fingerprint", "quality_score", "lang_pred"))
+
+
 def q_pdf_roundtrip(spark, sf_dir):
     """PDF source coverage (S5 analog, /root/reference/server/pdf_handler.h):
     build a deterministic FlateDecode PDF per doc from its text, parse
@@ -404,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_pairs": q_winnow_pairs,
         "pdf_roundtrip": q_pdf_roundtrip,
+        "curate_keeplist": q_curate_keeplist,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -595,6 +619,40 @@ ORACLES: dict[str, str] = {
     "pdf_roundtrip": """
         SELECT doc_id, CAST(true AS BOOLEAN) AS roundtrip_ok
         FROM documents
+    """,
+    "curate_keeplist": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint,
+                 length(text) AS n_chars,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop,
+                 len(regexp_extract_all(lower(text), '{_DE_RE}')) AS de,
+                 len(regexp_extract_all(lower(text), '{_EN_RE}')) AS en,
+                 len(regexp_extract_all(lower(text), '{_ES_RE}')) AS es,
+                 len(regexp_extract_all(lower(text), '{_FR_RE}')) AS fr
+          FROM documents),
+        s AS (
+          SELECT doc_id, fingerprint,
+                 round(least(n_tokens / 20.0, 1.0)
+                       * least(n_alpha / greatest(n_chars, 1)::DOUBLE * 1.25, 1.0)
+                       * least(n_stop / greatest(n_tokens, 1)::DOUBLE * 4.0, 1.0),
+                       6) AS quality_score,
+                 CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                      WHEN de = greatest(de, en, es, fr) THEN 'de'
+                      WHEN en = greatest(de, en, es, fr) THEN 'en'
+                      WHEN es = greatest(de, en, es, fr) THEN 'es'
+                      ELSE 'fr' END AS lang_pred,
+                 min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+          FROM f)
+        SELECT doc_id, fingerprint, quality_score, lang_pred
+        FROM s
+        WHERE doc_id = keep_id AND quality_score >= 0.5
+          AND lang_pred = 'en'
     """,
     "base64_roundtrip": """
         SELECT doc_id,

@@ -16,3 +16,31 @@ def test_bucketed_join_has_no_shuffle(tmp_path):
     last = out.stdout.strip().splitlines()[-1:]
     assert last == ["PLAN-OK"], f"stdout={out.stdout[-500:]} " \
                                 f"stderr={out.stderr[-500:]}"
+
+
+def test_salting_defuses_hot_host_skew(spark):
+    """The corpus's two hot hosts own ~50% of rows (FIXTURES §1). A
+    host-keyed repartition concentrates them on single partitions; the
+    salted repartition spreads rows uniformly — the X5 skew guard the
+    north rule mandates, measured, not asserted by fiat."""
+    from pyspark.sql import functions as F
+
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.partitioning import host_of, salted_repartition
+
+    docs = generate_documents_df(spark, 2000, partitions=8)
+    n_part = 16
+
+    def max_share(df):
+        sizes = (df.withColumn("p", F.spark_partition_id())
+                 .groupBy("p").count().collect())
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    naive = max_share(docs.repartition(n_part, host_of(F.col("url"))))
+    salted = max_share(salted_repartition(docs, n_part))
+    # hot host -> one partition holds ~a quarter of the corpus;
+    # salted -> near-uniform 1/16 (allow 2x slack for hash variance)
+    assert naive > 0.15, f"corpus no longer skewed? naive={naive}"
+    assert salted < 2.0 / n_part, f"salting failed: {salted}"
+    assert salted < naive / 2
