@@ -52,8 +52,12 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "winnow_pairs",
     "embedding_topk",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "pdf_roundtrip",
+    "curate_keeplist",
 ]
 
 # N -> 4N window chosen below full box saturation: at local[32] the

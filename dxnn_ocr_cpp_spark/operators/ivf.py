@@ -21,14 +21,20 @@ Spark shape (all deterministic, no MLlib dependency):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dxnn_ocr_cpp_spark.operators.similarity import as_double_array, cosine
 
 
 def _centroid_sims(vec, centroids: list):
-    """array<double> of cosine sims to each centroid literal."""
+    """array<double> of cosine sims to each centroid literal — used on
+    the tiny QUERY side only; the corpus side uses the matmul kernel
+    below (n_lists separate aggregate/zip_with expressions over literal
+    arrays blow up codegen exactly like the pre-kernel hyperplane LSH)."""
     sims = []
     for c in centroids:
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -39,6 +45,26 @@ def _centroid_sims(vec, centroids: list):
 def _argmax(arr):
     # first max wins -> deterministic ties
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def _cell_assign_udf(centroids: list):
+    """Vectorized nearest-centroid assignment: one numpy matmul per
+    Arrow batch; first-max-wins ties (np.argmax) match _argmax."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(
+        np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        Mn = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    return assign
 
 
 def seed_centroids(corpus: DataFrame, n_lists: int,
@@ -56,7 +82,7 @@ def lloyd_refine(corpus: DataFrame, centroids: list, iters: int = 2,
     vecs = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
     for _ in range(iters):
         assigned = vecs.withColumn(
-            "list_id", _argmax(_centroid_sims(F.col("v"), centroids)))
+            "list_id", _cell_assign_udf(centroids)(F.col("v")))
         means = (assigned
                  .select("list_id", F.posexplode("v").alias("dim", "x"))
                  # rounded: distributed float avg merges partial sums in
@@ -86,7 +112,7 @@ def build_ivf(corpus: DataFrame, n_lists: int = 16, iters: int = 2,
                .select(F.col(id_col).alias("nb_id"),
                        as_double_array(F.col(vec_col)).alias("nb_vec"))
                .withColumn("list_id",
-                           _argmax(_centroid_sims(F.col("nb_vec"), centroids))))
+                           _cell_assign_udf(centroids)(F.col("nb_vec"))))
     return indexed, centroids
 
 
