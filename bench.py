@@ -37,9 +37,15 @@ SEED = 42
 # cores (measured: 4*T16 - T4 residual), which any real long-running
 # 10^12-doc job amortizes to nothing — so the bench must too
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
+def _corpus_version() -> int:
+    sys.path.insert(0, str(REPO))
+    from dxnn_ocr_cpp_spark.corpus import CORPUS_VERSION
+    return CORPUS_VERSION
+
+
 CORPUS_CACHE = os.environ.get(
     "SPARK_GRAFT_CORPUS_CACHE",
-    f"/tmp/spark_graft_corpus/seed{SEED}_n{SCALE_DOCS}")
+    f"/tmp/spark_graft_corpus/seed{SEED}_n{SCALE_DOCS}_v{_corpus_version()}")
 
 HEADLINE = [
     "pricing_summary",

@@ -24,6 +24,10 @@ import random
 
 EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z, fixed (no wall clock)
 
+# bump when generator output changes for ANY (seed, i): cached corpus
+# parquet (bench) is keyed on this, so stale caches can't be reused
+CORPUS_VERSION = 2
+
 HOSTS = [f"host{i:02d}.example.org" for i in range(20)]
 
 _WORDS_EN = (
@@ -79,15 +83,20 @@ def _content_blocks(rng: random.Random, lang: str, i: int) -> str:
     for b in range(n):
         kind = rng.random()
         extra = ""
-        if i % 11 == 3 and b == 0:
-            # entity / zero-width soup row (C3 analog)
-            extra = " &amp; fish&nbsp;&amp;&nbsp;chips ​zero​width"
-        if i % 13 == 5 and b == 0:
-            extra = " שלום עולם"  # RTL
+        if b == 0 and i % 20 != 4:  # cp1252 rows can't encode payloads
+            if i % 11 == 3:
+                # entity / zero-width soup row (C3 analog)
+                extra = " &amp; fish&nbsp;&amp;&nbsp;chips ​zero​width"
+            if i % 13 == 5:
+                extra += " שלום עולם"  # RTL (concatenates on collision)
         s = " ".join(_sentence(rng, lang, extra if k == 0 else "")
                      for k in range(rng.randint(1, 4)))
         if kind < 0.15:
-            parts.append(f"<h2>{_sentence(rng, lang)[:-1]}</h2>")
+            # the heading must carry `extra` too: discarding it here
+            # silently stripped the zero-width-soup / RTL payload from
+            # ~15% of the edge-residue fixture rows (same RNG draws, so
+            # only the affected edge docs change)
+            parts.append(f"<h2>{_sentence(rng, lang, extra)[:-1]}</h2>")
         elif kind < 0.3:
             parts.append(f"<li>{s}</li>")
         else:

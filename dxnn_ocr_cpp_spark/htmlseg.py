@@ -152,19 +152,39 @@ class _Segmenter(HTMLParser):
         self._ctx_pos = 0
 
     # -- path bookkeeping --
+    # skip_depth/link_depth are INVARIANTS of the open-element stack
+    # (number of open SKIP_TAGS / <a> elements), maintained exclusively
+    # by _push/_pop. Ad-hoc counting at the handler level leaked on
+    # implicitly-closed elements: real crawl HTML omits </head> (legal
+    # — browsers imply it), and a leaked skip_depth silently dropped
+    # EVERY remaining block; an unclosed <a> popped by an ancestor's
+    # end tag left link_depth high and link-density killed all later
+    # blocks.
     def _push(self, tag: str) -> str:
         parent_path, counters, _ = self.stack[-1]
         c = counters.get(tag, 0) + 1
         counters[tag] = c
         path = f"{parent_path}/{tag}[{c}]" if parent_path else f"{tag}[{c}]"
         self.stack.append((path, {}, tag))
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+        elif tag == "a":
+            self.link_depth += 1
         return path
 
     def _pop(self, tag: str) -> None:
-        # pop to the nearest matching open element; ignore stray closers
+        # pop to the nearest matching open element; ignore stray
+        # closers; reconcile counters for every implicitly-closed
+        # element above the match
         stack = self.stack
         for i in range(len(stack) - 1, 0, -1):
             if stack[i][2] == tag:
+                for j in range(i, len(stack)):
+                    t = stack[j][2]
+                    if t in SKIP_TAGS:
+                        self.skip_depth -= 1
+                    elif t == "a":
+                        self.link_depth -= 1
                 del stack[i:]
                 return
 
@@ -218,14 +238,18 @@ class _Segmenter(HTMLParser):
             if tag in SPACING_VOIDS and not self.skip_depth:
                 self._parts.append(" ")
             return
-        if tag in SKIP_TAGS:
-            self.skip_depth += 1
-        path = self._push(tag)
+        # implied </head> (HTML5: <body> or flow content ends the head;
+        # real crawl pages omit the close tag constantly and a skipped
+        # head would otherwise swallow the whole document). Only when
+        # head is the SOLE open skip element — content nested in
+        # template/svg/iframe stays dropped.
+        if (self.skip_depth == 1 and (tag == "body" or tag in BLOCK_TAGS)
+                and any(e[2] == "head" for e in self.stack)):
+            self._pop("head")
+        path = self._push(tag)  # maintains skip_depth/link_depth
         if self.skip_depth:
             return
         self._n_tags += 1
-        if tag == "a":
-            self.link_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
             self._new_ctx(tag, path)
@@ -239,13 +263,8 @@ class _Segmenter(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
-        if tag == "a" and self.link_depth and not self.skip_depth:
-            self.link_depth -= 1
         was_skip = self.skip_depth > 0
-        self._pop(tag)
-        if tag in SKIP_TAGS and self.skip_depth:
-            self.skip_depth -= 1
-            return
+        self._pop(tag)  # reconciles skip_depth/link_depth
         if was_skip:
             return
         if tag in BLOCK_TAGS:

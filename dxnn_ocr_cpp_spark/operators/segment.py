@@ -35,6 +35,11 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
         t = normalize_text(b.text_raw)
         if not t:
             continue  # D1 analog: candidacy requires text after normalization
+        # counts describe the NORMALIZED text the block emits — raw
+        # counts included zero-width/bidi chars that normalization
+        # strips, letting soup-padded blocks past min_text_chars and
+        # skewing density features against the actual output
+        n_text = sum(map(len, t.split()))
         blocks.append({
             "block_id": b.block_id,
             "tag": b.tag,
@@ -42,8 +47,8 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
             "depth": b.depth,
             "pos": b.pos,
             "text": t,
-            "n_text_chars": b.n_text_chars,
-            "n_link_chars": b.n_link_chars,
+            "n_text_chars": n_text,
+            "n_link_chars": min(b.n_link_chars, n_text),
             "n_tags": b.n_tags,
         })
     return {

@@ -166,15 +166,12 @@ def extract_checkpointed(spark, documents: DataFrame, root: str,
     # non-checkpointed extract() path pays zero)
     def build_extracted():
         b = blocks
-        ld = F.col("n_link_chars") / F.greatest(F.col("n_text_chars"), F.lit(1))
-        keep = (
-            F.col("block_id").isNotNull()
-            & (F.col("score") >= F.lit(cfg.box_thresh))
-            & (F.col("score") >= F.lit(cfg.rec_score_thresh))
-            & (F.col("n_text_chars") >= F.lit(cfg.min_text_chars))
-            & (ld <= F.lit(cfg.max_link_density))
-            & (F.col("text") != F.lit(""))
-        )
+        # the SAME keep predicate as the hot path (span_filter over a
+        # struct of the flat checkpoint columns) — a hand-copied filter
+        # here could drift and break hot-vs-checkpointed byte-identity
+        keep = F.col("block_id").isNotNull() & span_filter(
+            F.struct(F.col("score"), F.col("n_text_chars"),
+                     F.col("n_link_chars"), F.col("text")), cfg)
         spans = (b.withColumn("_keep", keep)
                  .withColumn("_k", F.when(F.col("_keep"), F.struct(
                      F.col("pos"), F.col("depth"), F.col("block_id"),

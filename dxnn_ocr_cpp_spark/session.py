@@ -53,4 +53,5 @@ def tune_runtime(spark: SparkSession, arrow_max_records: int = 512) -> None:
     (e.g. the driver's) — only confs settable at runtime."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+    spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", str(32 << 20))
     spark.conf.set("spark.sql.adaptive.enabled", "true")

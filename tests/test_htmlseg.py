@@ -148,3 +148,36 @@ class TestSegment:
         a = segment_html(html)
         b = segment_html(html)
         assert [vars(x) for x in a.blocks] == [vars(y) for y in b.blocks]
+
+
+class TestImplicitCloseReconciliation:
+    """Review findings: counters leaked on implicitly-closed elements,
+    silently dropping all remaining content on real-world HTML."""
+
+    def test_missing_head_close_still_extracts(self):
+        h = (b"<html><head><meta charset=utf-8><title>t</title>"
+             b"<body><p>hello world content</p><p>second</p>")
+        for eng in ("fast", "ref"):
+            texts = [b.text_raw for b in segment_html(h, engine=eng).blocks]
+            assert texts == ["hello world content", "second"], eng
+
+    def test_unclosed_anchor_does_not_poison_later_blocks(self):
+        h = (b"<div><a href=x>link</div>"
+             b"<p>plain body text not a link at all</p>")
+        for eng in ("fast", "ref"):
+            blocks = segment_html(h, engine=eng).blocks
+            p = [b for b in blocks if b.tag == "p"][0]
+            assert p.n_link_chars == 0, eng
+
+    def test_stray_skip_closer_does_not_unhide(self):
+        h = b"<iframe>hid</script>still hid</iframe><p>visible</p>"
+        for eng in ("fast", "ref"):
+            texts = [b.text_raw for b in segment_html(h, engine=eng).blocks]
+            assert texts == ["visible"], eng
+
+    def test_template_inside_head_stays_hidden(self):
+        h = (b"<head><template><p>hidden</p></template></head>"
+             b"<p>shown</p>")
+        for eng in ("fast", "ref"):
+            texts = [b.text_raw for b in segment_html(h, engine=eng).blocks]
+            assert texts == ["shown"], eng

@@ -5,36 +5,48 @@ path), runs validation + checkpointed extraction, writes the extracted
 table and lineage. Resumable: re-submitting after a failure skips every
 checkpointed stage/url.
 
-usage: run_extraction_job.py <documents_table_or_path> <checkpoint_root>
-                             [output_table_or_path]
+usage: run_extraction_job.py <documents_src> <checkpoint_root> [output]
+
+src/output addressing is EXPLICIT (a '.'-vs-'/' heuristic misroutes
+undotted table names and dotted relative paths): prefix catalog tables
+with `table:`, everything else is a parquet path.
+    table:lake.db.documents   -> spark.read.table / writeTo
+    s3a://bucket/docs         -> spark.read.parquet / write.parquet
 """
 
 import sys
 
 from pyspark.sql import SparkSession
 
+_TABLE_PREFIX = "table:"
+
 
 def main(argv):
     if len(argv) < 2:
-        sys.exit("usage: run_extraction_job.py <documents_table_or_path> "
-                 "<checkpoint_root> [output_table_or_path]")
+        sys.exit("usage: run_extraction_job.py <documents_src> "
+                 "<checkpoint_root> [output]  (prefix catalog tables "
+                 f"with '{_TABLE_PREFIX}')")
     src, ckpt_root = argv[0], argv[1]
     out = argv[2] if len(argv) > 2 else None
 
     spark = SparkSession.builder.appName("dxnn-extract").getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow batch caps etc. on the externally-built session — without
+    # them the 10k-row default Arrow batch of multi-MB html blobs OOMs
+    # the executors (the whole reason tune_runtime exists)
+    from dxnn_ocr_cpp_spark.session import tune_runtime
+    tune_runtime(spark)
 
     from dxnn_ocr_cpp_spark.operators.validate import validate_documents
     from dxnn_ocr_cpp_spark.pipeline import extract_checkpointed
 
-    docs = (spark.read.table(src) if "." in src and "/" not in src
-            else spark.read.parquet(src))
+    docs = (spark.read.table(src[len(_TABLE_PREFIX):])
+            if src.startswith(_TABLE_PREFIX) else spark.read.parquet(src))
     valid, rejects = validate_documents(docs)
     extracted, run = extract_checkpointed(spark, valid, ckpt_root)
     rejects.write.mode("overwrite").parquet(f"{ckpt_root}/rejects")
     if out:
-        if "." in out and "/" not in out:
-            extracted.writeTo(out).createOrReplace()
+        if out.startswith(_TABLE_PREFIX):
+            extracted.writeTo(out[len(_TABLE_PREFIX):]).createOrReplace()
         else:
             extracted.write.mode("overwrite").parquet(out)
     stats = run.lineage().groupBy("stage").sum("row_count").collect()
