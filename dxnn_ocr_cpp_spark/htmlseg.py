@@ -107,6 +107,10 @@ VOID_TAGS = frozenset(
 )
 # Line-break-ish voids contribute a space so words don't fuse.
 SPACING_VOIDS = frozenset(("br", "hr", "img"))
+# Elements allowed inside <head>: anything else (or bare text) implies
+# </head> per HTML5 — real crawl pages omit the close tag constantly.
+HEAD_TAGS = frozenset(
+    "head meta title link style script base noscript template".split())
 
 
 @dataclass
@@ -238,12 +242,11 @@ class _Segmenter(HTMLParser):
             if tag in SPACING_VOIDS and not self.skip_depth:
                 self._parts.append(" ")
             return
-        # implied </head> (HTML5: <body> or flow content ends the head;
-        # real crawl pages omit the close tag constantly and a skipped
-        # head would otherwise swallow the whole document). Only when
-        # head is the SOLE open skip element — content nested in
-        # template/svg/iframe stays dropped.
-        if (self.skip_depth == 1 and (tag == "body" or tag in BLOCK_TAGS)
+        # implied </head>: ANY non-head-allowed tag ends the head (a
+        # skipped head would otherwise swallow the whole document).
+        # Only when head is the SOLE open skip element — content nested
+        # in template/svg/iframe stays dropped.
+        if (self.skip_depth == 1 and tag not in HEAD_TAGS
                 and any(e[2] == "head" for e in self.stack)):
             self._pop("head")
         path = self._push(tag)  # maintains skip_depth/link_depth
@@ -263,15 +266,22 @@ class _Segmenter(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
-        was_skip = self.skip_depth > 0
         self._pop(tag)  # reconciles skip_depth/link_depth
-        if was_skip:
+        # gate on the POST-pop depth: an end tag that implicitly closes
+        # a skip descendant (e.g. </div> over an unclosed <iframe>)
+        # still ends its block here — checking before the pop merged
+        # the tail text into the closed block
+        if self.skip_depth:
             return
         if tag in BLOCK_TAGS:
             self._flush()
             self._reinherit_ctx()
 
     def handle_data(self, data):
+        # bare text directly inside <head> implies </head> too (HTML5)
+        if (data and self.skip_depth == 1 and not data.isspace()
+                and any(e[2] == "head" for e in self.stack)):
+            self._pop("head")
         if self.skip_depth or not data:
             return
         self._parts.append(data)

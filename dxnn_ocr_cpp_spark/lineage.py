@@ -104,34 +104,56 @@ class CheckpointedRun:
                 .parquet(f"{self.root}/_lineage"))
         return self.read_stage(stage)
 
+    def invalidate_stage(self, stage: str) -> None:
+        """Persistently mark a stage checkpoint stale by removing its
+        _SUCCESS marker — run_stage will rebuild it."""
+        marker = os.path.join(self._stage_path(stage), "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+
     def run_incremental_stage(self, stage: str, inputs: DataFrame, df_fn,
                               key: str = "url",
                               bytes_in_col: str | None = None,
-                              bytes_out_col: str | None = None):
+                              bytes_out_col: str | None = None,
+                              invalidates: tuple = ()):
         """Execute-or-extend one keyed stage: inputs already present in
         the checkpoint are skipped (anti-join on `key`); the rest are
         processed and APPENDED. This is the real per-doc resume — a
         prior run that completed over a subset of the corpus (or a
         re-submission with new documents) only pays for the missing
-        keys. Returns (stage DataFrame, appended: bool) so callers can
-        invalidate stages derived from this one.
+        keys. Returns (stage DataFrame, appended: bool).
+
+        `invalidates` lists DERIVED stage checkpoints; their _SUCCESS
+        markers are removed on disk BEFORE this stage is extended, so a
+        crash between the append and the derived rebuild leaves them
+        marked stale (rebuilt next run) instead of silently served.
 
         df_fn(todo) must emit >=1 row per input key (F8: block-less
         docs still get a null-block row) or resume would re-do them.
+        Lineage is computed over the INCREMENT only (re-evaluating
+        df_fn(todo) once more — increment-sized): full-checkpoint
+        rescans would both double-count row sums in _lineage and
+        re-hash 10^12 rows to record a 1-row append.
         """
         t0 = time.monotonic()
         if not self.has_stage(stage):
+            for s in invalidates:
+                self.invalidate_stage(s)
             df_fn(inputs).write.mode("overwrite").parquet(self._stage_path(stage))
             appended = True
+            lin_src = self.read_stage(stage)
         else:
             todo = self.resume_filter(inputs, stage, key=key)
             appended = not todo.isEmpty()
             if appended:
-                df_fn(todo).write.mode("append").parquet(self._stage_path(stage))
+                for s in invalidates:
+                    self.invalidate_stage(s)
+                out_new = df_fn(todo)
+                out_new.write.mode("append").parquet(self._stage_path(stage))
+                lin_src = out_new
         if appended:
-            out = self.read_stage(stage)
             wall = (time.monotonic() - t0) * 1000.0
-            lin = lineage_rows(out, self.run_id, stage,
+            lin = lineage_rows(lin_src, self.run_id, stage,
                                bytes_in_col, bytes_out_col) \
                 .withColumn("wall_ms", F.lit(wall))
             (lin.coalesce(1).write.mode("append")

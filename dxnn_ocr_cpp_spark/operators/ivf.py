@@ -54,15 +54,27 @@ def _cell_assign_udf(centroids: list):
     Cn = C / np.maximum(
         np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
+    dim = Cn.shape[1]
+
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         n = len(vecs)
-        if n == 0:
-            return pd.Series([], dtype="int32")
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        Mn = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype(np.int32))
+        out = [None] * n  # null/ragged embeddings -> null list_id
+        rows, idxs = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (dim,):
+                rows.append(a)
+                idxs.append(i)
+        if rows:
+            M = np.asarray(rows)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            for i, lid in zip(idxs, (Mn @ Cn.T).argmax(axis=1)):
+                out[i] = int(lid)
+        return pd.Series(out, dtype="object")
 
     return assign
 

@@ -158,7 +158,10 @@ def extract_checkpointed(spark, documents: DataFrame, root: str,
     # url, so resume sees them as done).
     blocks, blocks_extended = run.run_incremental_stage(
         "blocks", documents, lambda todo: extract_blocks(todo, cfg),
-        key="url", bytes_out_col="text")
+        key="url", bytes_out_col="text",
+        invalidates=("extracted",))  # persisted staleness: a crash
+        # between the blocks append and the extracted rebuild must not
+        # leave an old extracted checkpoint being served
 
     # stage 3: emission from the checkpoint — window re-sort replaces
     # the array sort (the blocks left their row at the checkpoint
