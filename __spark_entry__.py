@@ -139,7 +139,7 @@ def q_len_bucket_histogram(spark, sf_dir):
     return (d.withColumn("len_bucket", F.floor(F.col("n_chars") / 256).cast("long"))
             .groupBy("len_bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars"))
+                 F.sum("n_chars").cast("long").alias("total_chars"))
             .orderBy("len_bucket"))
 
 
@@ -552,7 +552,7 @@ ORACLES: dict[str, str] = {
     """,
     "len_bucket_histogram": """
         SELECT CAST(floor(n_chars / 256) AS BIGINT) AS len_bucket,
-               count(*) AS n_docs, sum(n_chars) AS total_chars
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1
     """,
     "events_tumbling": """

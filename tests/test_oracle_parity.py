@@ -50,6 +50,20 @@ ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_has_no_hugeint_columns(duck, name):
+    """DuckDB sum(BIGINT) returns HUGEINT (int128), which hash-serializes
+    differently from Spark's LongType in the driver's compare even when
+    values match (round-1 len_bucket_histogram red).  Pin the trap class:
+    every oracle column must be a Spark-representable type — wrap sums in
+    CAST(... AS BIGINT).
+    """
+    desc = duck.execute(
+        "DESCRIBE " + entrymod.oracle_sql()[name]).fetchall()
+    bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+    assert not bad, f"{name}: HUGEINT oracle columns {bad} — add CAST"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     qfn = entrymod.queries()[name]
     sdf = qfn(spark, SF_DIR)
