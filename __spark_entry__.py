@@ -369,26 +369,31 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 
 def q_validate_rejects(spark, sf_dir):
-    """Input-guard operator (F7 analog) over a corpus salted with bad
-    rows — returns reject histogram (rows-only; rules are Column
-    exprs unit-tested in tests/test_validate.py)."""
+    """Input-guard operator (F7 analog of request validation,
+    /root/reference/server/ocr_handler.cpp:38-124) — reject histogram
+    over a URL-shaped corpus derived deterministically from
+    {sf_dir}/documents.parquet (doc_id % 50 mangles rows into each
+    reject class), so the DuckDB oracle can mirror it exactly.  The
+    Column-expr rules themselves are also unit-tested in
+    tests/test_validate.py."""
     _prep(spark)
-    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.config import ExtractionConfig
     from dxnn_ocr_cpp_spark.operators.validate import validate_documents
-    from pyspark.sql import types as T
-    docs = generate_documents_df(spark, 100)
-    bad = spark.createDataFrame(
-        [(None, None, b"<p>x</p>", None, "en"),
-         ("", None, b"<p>x</p>", None, "en"),
-         ("not-a-url", None, b"<p>x</p>", None, "en"),
-         ("https://h/" + "a" * 3000, None, b"<p>x</p>", None, "en")],
-        schema=T.StructType([
-            T.StructField("url", T.StringType(), True),
-            T.StructField("warc_ts", T.TimestampType(), True),
-            T.StructField("html", T.BinaryType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("lang", T.StringType(), True)]))
-    _, rejects = validate_documents(docs.unionByName(bad))
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 50
+    did = F.col("doc_id").cast("string")
+    base = d.select(
+        F.when(m == 0, F.lit(None).cast("string"))
+         .when(m == 1, F.lit(""))
+         .when(m == 2, F.concat(F.lit("example.com/doc/"), did))
+         .when(m == 3, F.concat(F.lit("https://h/"), F.repeat(F.lit("a"), 3000)))
+         .otherwise(F.concat(F.lit("https://example.com/doc/"), did))
+         .alias("url"),
+        F.encode(F.when(m == 4, F.repeat(F.lit("x"), 5000))
+                  .otherwise(F.col("text")), "UTF-8").alias("html"))
+    # small max_html_bytes so the oversize rule trips without MB blobs;
+    # the oracle mirrors the *4 truncate-vs-reject threshold (4096).
+    _, rejects = validate_documents(base, ExtractionConfig(max_html_bytes=1024))
     return (rejects.groupBy("reject_reason")
             .agg(F.count(F.lit(1)).alias("n")).orderBy("reject_reason"))
 
@@ -672,6 +677,32 @@ ORACLES: dict[str, str] = {
                                   1e-12), 4) AS sim
           FROM e x JOIN e y ON x.id < y.id)
         SELECT a, b, sim FROM p WHERE sim >= 0.4
+    """,
+    # Mirrors q_validate_rejects: same doc_id%50 mangling, same rule
+    # order (null -> too_long -> no_scheme -> oversize), same 2083 URL
+    # cap and 4*max_html_bytes=4096 byte threshold as validate.py.
+    "validate_rejects": r"""
+        WITH base AS (
+          SELECT CASE WHEN doc_id % 50 = 0 THEN NULL
+                      WHEN doc_id % 50 = 1 THEN ''
+                      WHEN doc_id % 50 = 2 THEN 'example.com/doc/' || doc_id
+                      WHEN doc_id % 50 = 3 THEN 'https://h/' || repeat('a', 3000)
+                      ELSE 'https://example.com/doc/' || doc_id END AS url,
+                 CASE WHEN doc_id % 50 = 4 THEN repeat('x', 5000)
+                      ELSE text END AS body
+          FROM documents),
+        tagged AS (
+          SELECT CASE
+                   WHEN url IS NULL OR length(url) = 0 THEN 'null_url'
+                   WHEN length(url) > 2083 THEN 'url_too_long'
+                   WHEN NOT regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://')
+                     THEN 'no_scheme'
+                   WHEN octet_length(encode(body)) > 4096 THEN 'html_too_large'
+                   ELSE NULL END AS reject_reason
+          FROM base)
+        SELECT reject_reason, CAST(count(*) AS BIGINT) AS n
+        FROM tagged WHERE reject_reason IS NOT NULL
+        GROUP BY 1 ORDER BY 1
     """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
