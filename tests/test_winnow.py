@@ -75,6 +75,31 @@ class TestSpark:
         assert got[(0, 1)] == len(np.intersect1d(a, b))
 
 
+    def test_prefix_filter_equals_bruteforce(self, spark):
+        """The ppjoin-style prefix filter + array_intersect verify must
+        return EXACTLY the pairs/counts of the definitional brute-force
+        |capped FP(a) ∩ capped FP(b)| — complete candidate recall by
+        the pigeonhole prefix theorem, exact counts by verification."""
+        from collections import Counter
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = d.select("doc_id", "text").collect()
+        fps = {r.doc_id: _winnow_one(r.text, K, W) for r in rows}
+        cnt = Counter(g for v in fps.values() for g in v)
+        cap = 1000
+        capped = {i: np.array([g for g in v if cnt[g] <= cap])
+                  for i, v in fps.items()}
+        ids = sorted(capped)
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = len(np.intersect1d(capped[ids[i]], capped[ids[j]]))
+                if c >= 5:
+                    want[(ids[i], ids[j])] = c
+        got = {(r.a, r.b): r.n_common
+               for r in winnow_pairs(d, min_common=5).collect()}
+        assert got == want
+
+
 class TestSimhashRecall:
     def test_pigeonhole_complete_recall(self, spark):
         """pieces = max_hamming+1 guarantees EVERY pair within the
