@@ -18,7 +18,8 @@ pure Python + stdlib zlib (FlateDecode), no external PDF library:
 Per-page records carry a status instead of raising (the reference's
 per-page success/error analog): "ok", "no-text",
 "needs-decoder:<Filter>" for unsupported filters (DCTDecode etc.),
-"parse-error" for garbage. Deterministic: output is a pure function of
+"decode-error:FlateDecode" for corrupt Flate data, "parse-error" for
+garbage — contained per page, not per document. Deterministic: output is a pure function of
 the bytes. The 1->N page explosion happens inside one mapInPandas hop
 (bounded concurrency = executor cores, replacing the semaphore).
 """
@@ -35,6 +36,10 @@ PAGE_SCHEMA = "id long, page_idx int, text string, status string"
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct-integer /Length only (negative lookahead rejects 'N G R'
+# indirect refs, which we can't resolve without another objs lookup)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:[^\[\]]|\[[^\]]*\])*)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 _CONTENTS_RE = re.compile(
@@ -65,9 +70,12 @@ def _unescape_literal(body: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():  # octal \ooo (1-3 digits)
+        elif nxt and nxt in b"01234567":  # octal \ooo (1-3 OCTAL digits;
+            # \8 and \9 are invalid escapes and fall through to the
+            # drop-the-backslash branch — isdigit() here once collapsed
+            # whole documents to parse-error on '(he\8llo)')
             j = i + 1
-            while j < min(i + 4, n) and body[j:j + 1].isdigit():
+            while j < min(i + 4, n) and body[j:j + 1] in b"01234567":
                 j += 1
             out.append(int(body[i + 1:j], 8) & 0xFF)
             i = j
@@ -258,45 +266,73 @@ def parse_pdf(raw: bytes | None) -> list:
         if not page_ids:
             return [(0, "", "no-pages")]
 
-        out = []
-        for idx, pid in enumerate(page_ids):
-            body = objs[pid]
-            cm = _CONTENTS_RE.search(body)
-            if not cm:
-                out.append((idx, "", "no-text"))
-                continue
-            refs = ([int(cm.group(1))] if cm.group(1)
-                    else [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))])
-            texts, status = [], "ok"
-            for ref in refs:
-                cbody = objs.get(ref)
-                if cbody is None:
-                    continue
-                sm = _STREAM_RE.search(cbody)
-                if sm is None:
-                    continue
-                data = sm.group(1)
-                fm = _FILTER_RE.search(cbody[:sm.start()])
-                filt = (fm.group(1) or fm.group(2)).decode() if fm else None
-                if filt == "FlateDecode":
-                    try:
-                        # decompressobj tolerates trailing EOL bytes
-                        # before 'endstream' (unused_data)
-                        data = zlib.decompressobj().decompress(data)
-                    except zlib.error:
-                        status = "needs-decoder:FlateDecode"
-                        continue
-                elif filt is not None:
-                    status = f"needs-decoder:{filt}"
-                    continue
-                texts.append(_stream_text(data))
-            text = "\n".join(t for t in texts if t)
-            if status == "ok" and not text:
-                status = "no-text"
-            out.append((idx, text, status))
-        return out
+        # per-page try: one bad string/stream degrades ONE page record,
+        # not the whole document (the reference's per-page success/error
+        # containment, /root/reference/server/pdf_handler.h:149-174)
+        return [_page_record(objs, idx, pid)
+                for idx, pid in enumerate(page_ids)]
     except Exception:
         return [(0, "", "parse-error")]
+
+
+def _stream_body(cbody: bytes) -> bytes | None:
+    """Slice one content object's stream body. A direct-integer /Length
+    is authoritative (embedded 'endstream' byte sequences inside
+    compressed data silently truncate the regex match otherwise); fall
+    back to the stream..endstream regex when /Length is absent,
+    indirect, or inconsistent with the object bytes."""
+    lm = _LENGTH_RE.search(cbody)
+    if lm:
+        sm = _STREAM_START_RE.search(cbody)
+        if sm:
+            start, length = sm.end(), int(lm.group(1))
+            end = start + length
+            # sanity: 'endstream' must follow (within EOL slack)
+            if end <= len(cbody) and \
+                    cbody[end:].lstrip(b"\r\n \t").startswith(b"endstream"):
+                return cbody[start:end]
+    m = _STREAM_RE.search(cbody)
+    return m.group(1) if m else None
+
+
+def _page_record(objs: dict, idx: int, pid: int) -> tuple:
+    try:
+        body = objs[pid]
+        cm = _CONTENTS_RE.search(body)
+        if not cm:
+            return (idx, "", "no-text")
+        refs = ([int(cm.group(1))] if cm.group(1)
+                else [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))])
+        texts, status = [], "ok"
+        for ref in refs:
+            cbody = objs.get(ref)
+            if cbody is None:
+                continue
+            data = _stream_body(cbody)
+            if data is None:
+                continue
+            fm = _FILTER_RE.search(cbody[:cbody.find(b"stream")])
+            filt = (fm.group(1) or fm.group(2)).decode() if fm else None
+            if filt == "FlateDecode":
+                try:
+                    # decompressobj tolerates trailing EOL bytes
+                    # before 'endstream' (unused_data)
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    # supported filter, corrupt bytes — distinct from
+                    # the missing-decoder case
+                    status = "decode-error:FlateDecode"
+                    continue
+            elif filt is not None:
+                status = f"needs-decoder:{filt}"
+                continue
+            texts.append(_stream_text(data))
+        text = "\n".join(t for t in texts if t)
+        if status == "ok" and not text:
+            status = "no-text"
+        return (idx, text, status)
+    except Exception:
+        return (idx, "", "parse-error")
 
 
 def pdf_pages(df: DataFrame, id_col: str = "doc_id",

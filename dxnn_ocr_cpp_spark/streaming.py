@@ -55,23 +55,34 @@ def stream_extract(docs_stream: DataFrame, out_path: str,
     appending duplicates. Lineage rows follow the same scheme — the
     streaming version of X15.
     """
-    from dxnn_ocr_cpp_spark.lineage import lineage_rows
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        data_path = f"{out_path}/data/batch={batch_id}"
-        extract(batch_df, cfg).write.mode("overwrite").parquet(data_path)
-        # lineage from the files just written (not the lazy plan, which
-        # would re-run extraction a second time)
-        written = batch_df.sparkSession.read.parquet(data_path)
-        (lineage_rows(written, run_id, f"emit-batch-{batch_id}",
-                      bytes_out_col="text")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(f"{out_path}/_lineage/batch={batch_id}"))
+        _write_batch(batch_df, batch_id, out_path, cfg, run_id)
 
     return (docs_stream.writeStream
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True))
+
+
+def _write_batch(batch_df: DataFrame, batch_id: int, out_path: str,
+                 cfg: ExtractionConfig, run_id: str) -> None:
+    """One micro-batch of the stream_extract sink (module-level so the
+    empty-batch path is unit-testable without driving a stream)."""
+    from dxnn_ocr_cpp_spark.lineage import lineage_rows
+
+    data_path = f"{out_path}/data/batch={batch_id}"
+    out_df = extract(batch_df, cfg)
+    out_df.write.mode("overwrite").parquet(data_path)
+    # lineage from the files just written (not the lazy plan, which
+    # would re-run extraction a second time). Explicit schema: an
+    # empty replayed/watermark batch can write zero part files, and
+    # schema INFERENCE on that directory raises and kills the stream
+    written = batch_df.sparkSession.read.schema(out_df.schema) \
+        .parquet(data_path)
+    (lineage_rows(written, run_id, f"emit-batch-{batch_id}",
+                  bytes_out_col="text")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{out_path}/_lineage/batch={batch_id}"))
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:

@@ -166,6 +166,54 @@ class TestTokenizerRegressions:
         assert parse_pdf(_craft(c)) == [(0, "keeptwo", "ok")]
 
 
+class TestRobustnessFixes:
+    """Round-2 advice fixes: invalid \\8 \\9 escapes, /Length-sliced
+    streams with embedded 'endstream' bytes, corrupt-Flate status, and
+    per-page (not per-doc) error containment."""
+
+    def test_invalid_octal_escape_drops_backslash(self):
+        # \8 is not octal; previously int('8', 8) raised and collapsed
+        # the whole doc to one parse-error row
+        assert parse_pdf(_craft(rb"BT (he\8llo) Tj ET")) == \
+            [(0, "he8llo", "ok")]
+        # run \18: \1 consumes only the octal digit, 8 stays literal
+        [(_, text, status)] = parse_pdf(_craft(rb"BT (a\18b) Tj ET"))
+        assert status == "ok" and text == "a\x018b"
+
+    def test_length_preserves_embedded_endstream(self):
+        # literal 'endstream' inside string data: the regex fallback
+        # truncates there; the /Length slice must not
+        assert parse_pdf(_craft(b"BT (has endstream inside) Tj ET")) == \
+            [(0, "has endstream inside", "ok")]
+
+    def test_corrupt_flate_is_decode_error(self):
+        garbage = b"\x00\x01\x02 not deflate \xff"
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+               b"4 0 obj\n<< /Filter /FlateDecode /Length "
+               + str(len(garbage)).encode()
+               + b" >>\nstream\n" + garbage + b"\nendstream\nendobj\n%%EOF")
+        assert parse_pdf(pdf) == [(0, "", "decode-error:FlateDecode")]
+
+    def test_one_bad_page_degrades_one_page(self):
+        good = b"BT (fine) Tj ET"
+        garbage = b"\xde\xad\xbe\xef"
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+               b"4 0 obj\n<< /Filter /FlateDecode /Length "
+               + str(len(garbage)).encode()
+               + b" >>\nstream\n" + garbage + b"\nendstream\nendobj\n"
+               b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+               b"6 0 obj\n<< /Length " + str(len(good)).encode()
+               + b" >>\nstream\n" + good + b"\nendstream\nendobj\n%%EOF")
+        assert parse_pdf(pdf) == [(0, "", "decode-error:FlateDecode"),
+                                  (1, "fine", "ok")]
+
+
 def test_build_pdf_null_text():
     """Null text rows (FIXTURES: the generator may leave text NULL)
     must produce a valid empty-page PDF, not an AttributeError."""

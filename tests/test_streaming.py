@@ -47,6 +47,20 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == 50
 
 
+def test_empty_batch_does_not_kill_sink(spark, tmp_path):
+    """A replayed/watermark micro-batch can be EMPTY and write zero
+    part files; the lineage read-back must use an explicit schema or
+    schema inference raises and kills the stream."""
+    from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG
+    from dxnn_ocr_cpp_spark.streaming import _write_batch
+    out = str(tmp_path / "out")
+    empty = generate_documents_df(spark, 5).filter("1 = 0")
+    _write_batch(empty, 0, out, DEFAULT_CONFIG, "t")  # must not raise
+    lin = spark.read.parquet(f"{out}/_lineage/batch=0")
+    assert (lin.count() == 0
+            or lin.agg(F.sum("row_count")).collect()[0][0] in (0, None))
+
+
 def test_stream_tumbling_counts(spark, events_dir):
     ev = (spark.readStream.schema(spark.read.parquet(EVENTS).schema)
           .parquet(events_dir))
