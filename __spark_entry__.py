@@ -343,18 +343,25 @@ def q_base64_roundtrip(spark, sf_dir):
 
 def q_embedding_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim >= 0.4): the
-    embedding-space twin of the text near-dup operators."""
+    embedding-space twin of the text near-dup operators. EXACT all-
+    pairs — the oracle-checkable twin, guarded by a row cap (O(n^2));
+    the scale path is embedding_cosine_dups_scale below."""
     _prep(spark)
-    from dxnn_ocr_cpp_spark.operators.similarity import as_double_array, cosine
+    from dxnn_ocr_cpp_spark.operators.similarity import cosine_dup_pairs_exact
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(F.col("vec_id").alias("id"),
-                   as_double_array(F.col("embedding")).alias("v"))
-    # n is small enough at test sf for the exact pair join; the scale
-    # path is lsh_topk's banded buckets (same cosine kernel)
-    pairs = (e.alias("x").join(e.alias("y"), F.col("x.id") < F.col("y.id"))
-             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                     F.round(cosine(F.col("x.v"), F.col("y.v")), 4).alias("sim")))
-    return pairs.filter(F.col("sim") >= 0.4)
+    return cosine_dup_pairs_exact(emb, threshold=0.4)
+
+
+def q_embedding_cosine_dups_scale(spark, sf_dir):
+    """The 100-TB variant of embedding_cosine_dups: banded hyperplane-
+    LSH candidate generation (equi-join on band buckets, no cartesian)
+    + exact-cosine verify. Probabilistic candidate recall -> rows-only
+    check; precision vs the exact query is pinned in
+    tests/test_similarity_pairs.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import cosine_dup_pairs_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_lsh(emb, threshold=0.4)
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
@@ -446,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rejects": q_validate_rejects,
         "base64_roundtrip": q_base64_roundtrip,
         "embedding_cosine_dups": q_embedding_cosine_dups,
+        "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -733,7 +741,8 @@ ORACLES: dict[str, str] = {
 
 def oracle_sql() -> dict[str, str]:
     # minhash_lsh_pairs / simhash_pairs / winnow_pairs / embedding_lsh_topk /
-    # extract_corpus are deliberately omitted: probabilistic candidate
-    # sets or pure-UDF stages -> driver rows-only check; byte-level
-    # extraction correctness is enforced by tests/test_golden.py.
+    # embedding_ivf_topk / embedding_cosine_dups_scale / extract_corpus
+    # are deliberately omitted: probabilistic candidate sets or
+    # pure-UDF stages -> driver rows-only check; byte-level extraction
+    # correctness is enforced by tests/test_golden.py.
     return dict(ORACLES)

@@ -159,38 +159,88 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True,
+                      carry: str = "auto",
+                      ride_along_max_docs: int = 1_000_000,
+                      approx_docs: int | None = None) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH; optionally
     verified with exact Jaccard on the shingle sets.
 
     Scale shape: signature build is a narrow map; the only shuffle is
     the band-bucket groupBy; pairs emerge bucket-locally. With
     b=16, r=4 the S-curve threshold is (1/16)^(1/4) ~ 0.5.
+
+    carry — how verify gets each candidate's shingle set:
+      ride_along  the full int64 shingle array rides every one of the
+                  `bands` exploded rows, so verify needs NO join back.
+                  Wins at small/medium scale: one exchange, and both
+                  join sides reuse it (ReuseExchange).
+      join_back   the band explode carries ONLY (id, band, bucket);
+                  candidate (a, b) pairs join back to the shingle
+                  table twice. Two extra id-keyed shuffles, but the
+                  band shuffle shrinks ~`bands`-fold in bytes — at
+                  web scale the ride-along payload (bands x shingles x
+                  8B per doc) dominates shuffle I/O and this is the
+                  only sane plan. On a real cluster the shingle table
+                  is a persisted signature table (write once, join
+                  per run).
+      auto        ride_along up to ride_along_max_docs documents
+                  (approx_docs hint avoids the count job), join_back
+                  above.
+    Both modes produce identical pairs — pinned by
+    tests/test_dedup.py::test_minhash_carry_modes_agree.
     """
+    if carry not in ("auto", "ride_along", "join_back"):
+        raise ValueError(f"carry must be auto|ride_along|join_back, got {carry}")
+    if carry == "auto":
+        n_docs = approx_docs if approx_docs is not None else df.count()
+        carry = "ride_along" if n_docs <= ride_along_max_docs else "join_back"
     rows_per_band = num_perm // bands
     sh = df.select(F.col(id_col).alias("id"),
                    word_shingle_hashes(F.col(text_col), n).alias("sh"))
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    # shingles ride through the band explode as int64 arrays (8 bytes/
-    # shingle, ~10x lighter than the raw n-gram strings); both join
-    # sides shuffle the SAME subtree on (band, bucket) so Spark's
-    # ReuseExchange computes the expensive text->shingle pipeline once
-    bands_df = sig.select(
-        "id", "sh",
-        F.explode(F.array(*[
+
+    def band_structs():
+        return F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
                              for r in range(rows_per_band)]).alias("bucket"))
             for b in range(bands)
-        ])).alias("bb")).select("id", "sh", "bb.band", "bb.bucket")
-    cand = (bands_df.alias("x").join(bands_df.alias("y"), ["band", "bucket"])
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                    F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"))
-            .dropDuplicates(["a", "b"]))
-    if not verify:
-        return cand.select("a", "b")
+        ])).alias("bb")
+
+    if carry == "ride_along":
+        # shingles ride through the band explode as int64 arrays
+        # (8 bytes/shingle, ~10x lighter than the raw n-gram strings);
+        # both join sides shuffle the SAME subtree on (band, bucket) so
+        # ReuseExchange computes the text->shingle pipeline once
+        bands_df = sig.select("id", "sh", band_structs()) \
+                      .select("id", "sh", "bb.band", "bb.bucket")
+        cand = (bands_df.alias("x").join(bands_df.alias("y"),
+                                         ["band", "bucket"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                        F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"))
+                .dropDuplicates(["a", "b"]))
+        if not verify:
+            return cand.select("a", "b")
+    else:
+        # id-only band rows: the (band, bucket) exchange carries 24
+        # bytes/row instead of the whole shingle array
+        bands_df = sig.select("id", band_structs()) \
+                      .select("id", "bb.band", "bb.bucket")
+        cand = (bands_df.alias("x").join(bands_df.alias("y"),
+                                         ["band", "bucket"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+                .dropDuplicates(["a", "b"]))
+        if not verify:
+            return cand
+        cand = (cand
+                .join(sh.select(F.col("id").alias("a"),
+                                F.col("sh").alias("sha")), "a")
+                .join(sh.select(F.col("id").alias("b"),
+                                F.col("sh").alias("shb")), "b"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = (F.size("sha") + F.size("shb")).cast("double") - inter
     return (cand

@@ -94,6 +94,67 @@ def _band_buckets_udf(planes_arr, bands: int):
     return band_buckets
 
 
+def cosine_dup_pairs_exact(emb: DataFrame, threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_to: int = 4,
+                           max_rows: int = 200_000) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (a < b, sim >= threshold)
+    via the all-pairs non-equi join — O(n^2) in corpus size (the plan
+    is a BroadcastNestedLoop/cartesian at any size).  This exists as
+    the oracle-checkable twin of cosine_dup_pairs_lsh; it is NOT the
+    scale path, and it refuses corpora above max_rows rather than
+    silently launching a quadratic job (the analog of the reference's
+    request-size validation caps, /root/reference/server/ocr_handler.cpp:38-124).
+    """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_dup_pairs_exact is O(n^2); corpus has {n} rows > "
+            f"max_rows={max_rows}. Use cosine_dup_pairs_lsh at scale "
+            f"(banded candidates + exact-cosine verify).")
+    e = emb.select(F.col(id_col).alias("id"),
+                   as_double_array(F.col(vec_col)).alias("v"))
+    pairs = (e.alias("x").join(e.alias("y"), F.col("x.id") < F.col("y.id"))
+             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                     F.round(cosine(F.col("x.v"), F.col("y.v")),
+                             round_to).alias("sim")))
+    return pairs.filter(F.col("sim") >= threshold)
+
+
+def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_planes: int = 32, bands: int = 8,
+                         dim: int = 64, round_to: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates = row pairs
+    sharing >= 1 hyperplane-LSH band bucket (equi-join, bucket-local —
+    never O(n^2)), verified with EXACT cosine >= threshold.  Recall
+    < 1.0 by design (a true pair differing in every band is missed;
+    with r=4-bit bands, P[candidate] = 1-(1-(1-theta/pi)^r)^b, steep
+    around cos ~ 0.5 at the defaults) — the cosine twin of
+    minhash_lsh_pairs, precision 1.0 because verification is exact.
+    """
+    bucket_udf = _band_buckets_udf(hyperplanes(dim, n_planes), bands)
+    # posexplode directly on the UDF call (see lsh_topk: a separate
+    # select plans a dead duplicate ArrowEvalPython under Generate)
+    pre = emb.select(F.col(id_col).alias("id"),
+                     as_double_array(F.col(vec_col)).alias("v"))
+    bb = pre.select(
+        "id", "v",
+        F.posexplode(bucket_udf(F.col("v"))).alias("band", "bucket"))
+    cand = (bb.alias("x").join(bb.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+            .dropDuplicates(["a", "b"]))
+    return (cand
+            .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")),
+                                       round_to))
+            .filter(F.col("sim") >= threshold)
+            .select("a", "b", "sim"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 32, bands: int = 8, dim: int = 64,

@@ -1,0 +1,45 @@
+"""Embedding-cosine near-dup pair operators: the exact all-pairs twin
+(oracle path, O(n^2)-guarded) vs the LSH-banded scale path — precision
+must be 1.0 (every scale pair is a true pair with the identical sim),
+recall measured, and the scale plan must contain no cartesian."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.operators.similarity import (cosine_dup_pairs_exact,
+                                                     cosine_dup_pairs_lsh)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_scale_pairs_subset_of_exact(emb):
+    exact = {(r.a, r.b): r.sim
+             for r in cosine_dup_pairs_exact(emb, threshold=0.4).collect()}
+    scale = {(r.a, r.b): r.sim
+             for r in cosine_dup_pairs_lsh(emb, threshold=0.4).collect()}
+    assert scale, "LSH path found no pairs at all"
+    # precision 1.0: identical sim for every reported pair
+    for k, sim in scale.items():
+        assert k in exact and exact[k] == sim
+    # recall: banded candidates should recover most true pairs here
+    # (high-sim pairs are near-certain candidates; the S-curve tail
+    # around the 0.4 threshold loses some)
+    recall = len(scale) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_scale_plan_has_no_cartesian(emb):
+    plan = cosine_dup_pairs_lsh(emb, threshold=0.4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_refuses_oversized_corpus(emb):
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        cosine_dup_pairs_exact(emb, max_rows=10)
