@@ -54,3 +54,31 @@ class ExtractionConfig:
 
 
 DEFAULT_CONFIG = ExtractionConfig()
+
+# name of the optional per-row override column on the input table
+TASK_CONFIG_COL = "task_cfg"
+
+
+def task_config_col(box_thresh: float | None = None,
+                    rec_score_thresh: float | None = None,
+                    min_text_chars: int | None = None,
+                    max_link_density: float | None = None):
+    """Column builder for one task_cfg struct (schemas.TASK_CONFIG).
+    Unset fields stay NULL -> the run-level ExtractionConfig value
+    applies; use inside F.when chains to assign policies per row, e.g.
+
+        docs.withColumn(TASK_CONFIG_COL,
+            F.when(host == 'forum.example', task_config_col(box_thresh=0.7))
+             .otherwise(task_config_col()))
+    """
+    from pyspark.sql import functions as F
+
+    def _lit(v, t):
+        return (F.lit(None) if v is None else F.lit(v)).cast(t)
+
+    return F.struct(
+        _lit(box_thresh, "double").alias("box_thresh"),
+        _lit(rec_score_thresh, "double").alias("rec_score_thresh"),
+        _lit(min_text_chars, "int").alias("min_text_chars"),
+        _lit(max_link_density, "double").alias("max_link_density"),
+    )

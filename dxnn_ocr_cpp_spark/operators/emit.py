@@ -22,21 +22,34 @@ from pyspark.sql import functions as F
 from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG, ExtractionConfig
 
 
-def span_filter(b, cfg: ExtractionConfig):
-    """Keep predicate (F2/F3/F5/F6 analogs)."""
+def span_filter(b, cfg: ExtractionConfig, task=None):
+    """Keep predicate (F2/F3/F5/F6 analogs).
+
+    task: optional per-row override struct Column (schemas.TASK_CONFIG,
+    the OCRTaskConfig analog — the reference threads per-request
+    thresholds through every stage, ocr_pipeline.cpp:457-461). NULL
+    fields fall back to the run-level cfg via coalesce — still pure
+    Column logic, so the zero-shuffle/one-Python-hop plan shape is
+    unchanged by per-row variation."""
+    def thresh(field, default):
+        lit = F.lit(default)
+        return lit if task is None else F.coalesce(task[field], lit)
+
     ld = b["n_link_chars"] / F.greatest(b["n_text_chars"], F.lit(1))
     return (
-        (b["score"] >= F.lit(cfg.box_thresh))
-        & (b["score"] >= F.lit(cfg.rec_score_thresh))
-        & (b["n_text_chars"] >= F.lit(cfg.min_text_chars))
-        & (ld <= F.lit(cfg.max_link_density))
+        (b["score"] >= thresh("box_thresh", cfg.box_thresh))
+        & (b["score"] >= thresh("rec_score_thresh", cfg.rec_score_thresh))
+        & (b["n_text_chars"] >= thresh("min_text_chars", cfg.min_text_chars))
+        & (ld <= thresh("max_link_density", cfg.max_link_density))
         & (b["text"] != F.lit(""))
     )
 
 
 def with_spans(df, cfg: ExtractionConfig = DEFAULT_CONFIG,
-               scored_col: str = "scored", out_col: str = "spans"):
-    kept = F.filter(F.col(scored_col), lambda b: span_filter(b, cfg))
+               scored_col: str = "scored", out_col: str = "spans",
+               task_col: str | None = None):
+    task = F.col(task_col) if task_col else None
+    kept = F.filter(F.col(scored_col), lambda b: span_filter(b, cfg, task))
     # canonical order: (pos, depth, block_id) — struct comparison is
     # field-order lexicographic, so put sort keys first, then re-index.
     ordered = F.array_sort(F.transform(

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG, ExtractionConfig
+from dxnn_ocr_cpp_spark.config import (DEFAULT_CONFIG, TASK_CONFIG_COL,
+                                       ExtractionConfig)
 from dxnn_ocr_cpp_spark.operators.emit import with_final_text, with_spans
 from dxnn_ocr_cpp_spark.operators.score import with_scored_blocks
 from dxnn_ocr_cpp_spark.operators.segment import with_blocks
@@ -50,8 +51,20 @@ def extract(documents: DataFrame,
     Costs one shuffle of the raw bytes, so it is OFF by default (the
     zero-shuffle path wins locally); turn it on at cluster scale when
     the size distribution is heavy-tailed.
+
+    Per-row parameter variation (OCRTaskConfig analog,
+    /root/reference/include/pipeline/ocr_pipeline.h:59-77): if the
+    input carries a `task_cfg` struct column (schemas.TASK_CONFIG,
+    build with config.task_config_col), its non-null fields override
+    the run-level cfg thresholds for THAT row — one batch can mix
+    extraction policies (per-domain thresholds etc.) without N jobs.
+    Pure coalesce Column logic: the plan stays zero-shuffle with one
+    Python hop regardless.
     """
-    df = documents.select("url", "html")  # column pruning before the UDF (X12)
+    has_task = TASK_CONFIG_COL in documents.columns
+    # column pruning before the UDF (X12)
+    df = documents.select("url", "html",
+                          *([TASK_CONFIG_COL] if has_task else []))
     if size_route:
         # default the partition count rather than silently ignoring the
         # routing request when repartition_to is omitted
@@ -62,7 +75,8 @@ def extract(documents: DataFrame,
         df = salted_repartition(df, repartition_to, salt_buckets=cfg.salt_buckets)
     df = with_blocks(df, cfg)                  # stage 1
     df = with_scored_blocks(df, cfg)           # stage 2
-    df = with_spans(df, cfg)                   # stage 3
+    df = with_spans(df, cfg,                   # stage 3
+                    task_col=TASK_CONFIG_COL if has_task else None)
     df = with_final_text(df, cfg)              # finalize
     cols = [
         F.col("url"),
@@ -101,12 +115,20 @@ def extract_blocks(documents: DataFrame,
 
 
 def extract_python(url: str, html: bytes | None,
-                   cfg: ExtractionConfig = DEFAULT_CONFIG) -> dict:
+                   cfg: ExtractionConfig = DEFAULT_CONFIG,
+                   task: dict | None = None) -> dict:
     """Pure-Python reference implementation of the full per-row
     pipeline, used by unit tests to hand-compute expectations. Mirrors
     extract() semantics 1:1 (score/filter formulas kept in sync by the
-    tests/test_parity.py cross-check)."""
+    tests/test_parity.py cross-check). task mirrors the per-row
+    task_cfg struct: non-None keys override cfg thresholds."""
     from dxnn_ocr_cpp_spark.operators.segment import segment_one
+
+    t = task or {}
+
+    def thresh(field):
+        v = t.get(field)
+        return getattr(cfg, field) if v is None else v
 
     seg = segment_one(html, cfg)
     spans = []
@@ -119,9 +141,10 @@ def extract_python(url: str, html: bytes | None,
         ld = min(b["n_link_chars"] / max(b["n_text_chars"], 1), 1.0)
         length_term = 0.5 + 0.5 * min(b["n_text_chars"] / float(cfg.length_norm_chars), 1.0)
         score = prior * (1.0 - ld) * length_term
-        if (score >= cfg.box_thresh and score >= cfg.rec_score_thresh
-                and b["n_text_chars"] >= cfg.min_text_chars
-                and ld <= cfg.max_link_density and b["text"]):
+        if (score >= thresh("box_thresh")
+                and score >= thresh("rec_score_thresh")
+                and b["n_text_chars"] >= thresh("min_text_chars")
+                and ld <= thresh("max_link_density") and b["text"]):
             spans.append((b["pos"], b["depth"], b["block_id"], b["text"], score))
     spans.sort()
     return {
@@ -148,6 +171,15 @@ def extract_checkpointed(spark, documents: DataFrame, root: str,
 
     from dxnn_ocr_cpp_spark.lineage import CheckpointedRun
     from dxnn_ocr_cpp_spark.operators.emit import span_filter
+
+    if TASK_CONFIG_COL in documents.columns:
+        # the blocks checkpoint schema does not carry per-row configs,
+        # so a resumed run could silently apply different thresholds
+        # than the original — refuse instead
+        raise ValueError(
+            "extract_checkpointed does not support per-row task_cfg; "
+            "use extract() for mixed-policy batches or split the batch "
+            "by policy")
 
     run = CheckpointedRun(spark, root, run_id=run_id)
 

@@ -15,6 +15,20 @@ DOCUMENTS = T.StructType([
     T.StructField("lang", T.StringType(), True),
 ])
 
+# optional per-row parameter overrides (OCRTaskConfig analog,
+# /root/reference/include/pipeline/ocr_pipeline.h:59-77 — the reference
+# carries per-REQUEST thresholds through the pipeline decoupled from
+# engine init, ocr_pipeline.cpp:457-461). A `task_cfg` column of this
+# type on the input lets ONE batch mix extraction policies (e.g.
+# per-domain thresholds); every field is nullable — null means "use the
+# run-level ExtractionConfig default".
+TASK_CONFIG = T.StructType([
+    T.StructField("box_thresh", T.DoubleType(), True),
+    T.StructField("rec_score_thresh", T.DoubleType(), True),
+    T.StructField("min_text_chars", T.IntegerType(), True),
+    T.StructField("max_link_density", T.DoubleType(), True),
+])
+
 # per-candidate block (TextBox analog, types.hpp:13-53). `text` is
 # already normalized by htmlseg.normalize_text — normalization happens
 # exactly once, inside the stage-1 UDF.
