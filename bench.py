@@ -16,6 +16,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...},
    "sf": ..., "extraction": {...}}
 and rewrites BENCH/BASELINE.md.
+
+Scenario modes (`python bench.py --mode latency|stress|stability|
+capacity`) self-measure the ENGINE — per-job latency percentiles,
+concurrent-job degradation, run-to-run drift, batch-size capacity
+sweep — the analog of the reference's 5-mode scenario framework
+(/root/reference/server/benchmark/benchmark_config.yaml:29-35,
+core/metrics.py:63-205). They write BENCH/MODES.md and print one
+JSON line each; the default invocation is unchanged.
 """
 
 from __future__ import annotations
@@ -290,9 +298,212 @@ def write_report(payload: dict) -> None:
     out.write_text("\n".join(lines))
 
 
+# ---------------- scenario modes (reference 5-mode analog) ----------
+
+def _pctl(xs: list, q: float) -> float:
+    """Linear-interpolated percentile (the reference's numpy
+    percentile semantics, core/metrics.py:63-91)."""
+    s = sorted(xs)
+    if len(s) == 1:
+        return s[0]
+    pos = q * (len(s) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, len(s) - 1)
+    return s[lo] * (1 - frac) + s[hi] * frac
+
+
+def _mode_session(mode: str):
+    sys.path.insert(0, str(REPO))
+    from dxnn_ocr_cpp_spark.session import build_session
+    return build_session(app=f"bench-{mode}", master=f"local[{CPUS}]",
+                        shuffle_partitions=CPUS)
+
+
+def mode_latency(n_docs: int = 2000, jobs: int = 20) -> dict:
+    """Per-job latency percentiles: `jobs` identical small extraction
+    jobs through one session — what a caller submitting batch requests
+    experiences (reference latency mode: single-request round-trip
+    P50/P90/P99)."""
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    spark = _mode_session("latency")
+    try:
+        docs = generate_documents_df(spark, n_docs, seed=SEED).cache()
+        docs.count()  # materialize input so jobs measure extraction only
+        walls = []
+        _materialize(extract(docs))  # warm (JIT + Python workers)
+        for _ in range(jobs):
+            t0 = time.monotonic()
+            _materialize(extract(docs))
+            walls.append(time.monotonic() - t0)
+        return {"mode": "latency", "docs_per_job": n_docs, "jobs": jobs,
+                "p50_s": round(_pctl(walls, 0.5), 3),
+                "p90_s": round(_pctl(walls, 0.9), 3),
+                "p99_s": round(_pctl(walls, 0.99), 3),
+                "mean_s": round(sum(walls) / len(walls), 3),
+                "per_doc_ms_p50": round(_pctl(walls, 0.5) / n_docs * 1e3, 3)}
+    finally:
+        spark.stop()
+
+
+def mode_stress(n_docs: int = 2000, concurrency: int = 4,
+                jobs_per_thread: int = 3) -> dict:
+    """Concurrent-submission degradation: `concurrency` driver threads
+    each run extraction jobs against the same session (Spark schedules
+    them over the shared executor pool). Reports solo vs contended
+    per-job latency and aggregate throughput — the reference's stress
+    mode (concurrency 10 against one pipeline)."""
+    import threading
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    spark = _mode_session("stress")
+    try:
+        docs = generate_documents_df(spark, n_docs, seed=SEED).cache()
+        docs.count()
+        _materialize(extract(docs))  # warm
+        t0 = time.monotonic()
+        _materialize(extract(docs))
+        solo = time.monotonic() - t0
+
+        walls, lock = [], threading.Lock()
+
+        def worker():
+            for _ in range(jobs_per_thread):
+                t = time.monotonic()
+                _materialize(extract(docs))
+                with lock:
+                    walls.append(time.monotonic() - t)
+
+        threads = [threading.Thread(target=worker)
+                   for _ in range(concurrency)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        total = time.monotonic() - t0
+        n_jobs = concurrency * jobs_per_thread
+        return {"mode": "stress", "docs_per_job": n_docs,
+                "concurrency": concurrency, "jobs": n_jobs,
+                "solo_job_s": round(solo, 3),
+                "contended_p50_s": round(_pctl(walls, 0.5), 3),
+                "contended_p99_s": round(_pctl(walls, 0.99), 3),
+                # <1.0 would mean concurrency HURTS aggregate throughput
+                "aggregate_speedup": round(n_jobs * solo / total, 3),
+                "agg_docs_per_sec": round(n_jobs * n_docs / total, 1)}
+    finally:
+        spark.stop()
+
+
+def mode_stability(n_docs: int = 5000, repeats: int = 8) -> dict:
+    """Run-to-run drift: identical job `repeats` times; coefficient of
+    variation of throughput (reference stability mode: sustained load,
+    variance watched)."""
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    import statistics
+    spark = _mode_session("stability")
+    try:
+        docs = generate_documents_df(spark, n_docs, seed=SEED).cache()
+        docs.count()
+        _materialize(extract(docs))  # warm
+        tps = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            _materialize(extract(docs))
+            tps.append(n_docs / (time.monotonic() - t0))
+        mean = statistics.mean(tps)
+        stdev = statistics.stdev(tps) if len(tps) > 1 else 0.0
+        return {"mode": "stability", "docs_per_job": n_docs,
+                "repeats": repeats,
+                "docs_per_sec_mean": round(mean, 1),
+                "docs_per_sec_min": round(min(tps), 1),
+                "docs_per_sec_max": round(max(tps), 1),
+                "cv": round(stdev / mean, 4)}
+    finally:
+        spark.stop()
+
+
+def mode_capacity(sizes: tuple = (2000, 8000, 32000)) -> dict:
+    """Throughput vs batch size: does docs/sec hold as the batch
+    grows? A flat curve = fixed per-job overhead amortized, no
+    superlinear term — the per-run capacity probe (reference capacity
+    mode: load until saturation)."""
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    spark = _mode_session("capacity")
+    try:
+        points = []
+        for n in sizes:
+            docs = generate_documents_df(spark, n, seed=SEED,
+                                         partitions=max(8, CPUS)).cache()
+            docs.count()
+            _materialize(extract(docs))  # warm
+            t0 = time.monotonic()
+            _materialize(extract(docs))
+            wall = time.monotonic() - t0
+            docs.unpersist()
+            points.append({"n_docs": n, "wall_s": round(wall, 3),
+                           "docs_per_sec": round(n / wall, 1)})
+        base = points[0]["docs_per_sec"]
+        return {"mode": "capacity", "points": points,
+                # >1: throughput still rising with batch size (overhead
+                # amortizing); ~1: flat; <<1: something superlinear
+                "largest_vs_smallest": round(
+                    points[-1]["docs_per_sec"] / base, 3)}
+    finally:
+        spark.stop()
+
+
+MODES = {"latency": mode_latency, "stress": mode_stress,
+         "stability": mode_stability, "capacity": mode_capacity}
+
+
+def write_modes_report(results: dict) -> None:
+    lines = ["# BENCH scenario modes",
+             "",
+             "Engine self-measurement (analog of the reference's "
+             "latency/stress/stability/capacity scenario framework, "
+             "/root/reference/server/benchmark/benchmark_config.yaml:29-35). "
+             f"local[{CPUS}], seeded corpus.",
+             ""]
+    for mode, r in results.items():
+        lines.append(f"## {mode}")
+        lines.append("")
+        for k, v in r.items():
+            if k != "mode":
+                lines.append(f"- {k}: `{v}`")
+        lines.append("")
+    out = REPO / "BENCH" / "MODES.md"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(lines))
+
+
+def run_modes(names: list) -> None:
+    results = {}
+    for name in names:
+        if name not in MODES:
+            raise SystemExit(f"unknown mode {name}; pick from {list(MODES)}")
+        results[name] = MODES[name]()
+    # merge with previously recorded modes so single-mode runs don't
+    # wipe the report
+    prior_path = REPO / "BENCH" / "modes.json"
+    prior = json.loads(prior_path.read_text()) if prior_path.exists() else {}
+    prior.update(results)
+    prior_path.parent.mkdir(exist_ok=True)
+    prior_path.write_text(json.dumps(prior, indent=1))
+    write_modes_report(prior)
+    print(json.dumps({"metric": "bench_modes", "modes": results}))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         print(json.dumps(scaling_worker(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mode":
+        run_modes(sys.argv[2].split(",") if len(sys.argv) > 2
+                  else list(MODES))
         return
     ensure_corpus(CORPUS_CACHE, SCALE_DOCS)
     extraction = run_scaling(CORPUS_CACHE)
