@@ -244,34 +244,41 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     sf0.01 and sf0.1).  On web-scale corpora the rarest fingerprints
     are exactly the ones templates do NOT share, so candidate volume
     collapses; on this synthetic corpus (only ~3k distinct fps at
-    sf0.1) the measured cut is still ~10x (15.9M -> 1.5M)."""
-    from pyspark.sql import Window
+    sf0.1) the measured cut is still ~10x (15.9M -> 1.5M).
+
+    Physical shape: ONE groupBy(id) aggregation builds each doc's
+    (gdf, g)-sorted fingerprint list; the prefix is an array slice of
+    its rarest nfp - min_common + 1 entries (empty when
+    nfp < min_common — such docs can never reach the overlap) and the
+    verify sets are a transform of the SAME aggregate, so the
+    fingerprint kernel + id-exchange are computed once for both
+    consumers. This replaced a two-window (row_number + count)
+    formulation: same output, one less sort pass over the index
+    (measured ~1s at sf0.1)."""
     ex = exploded_hash_rows(df, id_col, text_col,
                             lambda s: _winnow_one(s, k, w)).drop("n")
     # global doc frequency per fingerprint; fps hotter than the cap are
     # excluded from counting entirely (unchanged skew-guard semantics)
     gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     capped = ex.join(gdf.filter(F.col("gdf") <= max_fp_df), "g")
-    # rank each doc's fps rarest-first under the total order (gdf, g);
-    # both windows share one exchange on id
-    wid = Window.partitionBy("id")
-    ranked = (capped
-              .withColumn("rn", F.row_number().over(wid.orderBy("gdf", "g")))
-              .withColumn("nfp", F.count(F.lit(1)).over(wid)))
-    prefix = (ranked
-              .filter(F.col("rn") <= F.col("nfp") - min_common + 1)
-              .select("id", "g"))
+    # per-doc fps sorted rarest-first under the total order (gdf, g) —
+    # struct comparison is field-order lexicographic, and g is unique
+    # within a doc, so the order is total and deterministic
+    agg = (capped.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("gdf", "g")))
+                .alias("fps")))
+    plen = F.greatest(F.size("fps") - (min_common - 1), F.lit(0))
+    prefix = (agg.select(
+        "id",
+        F.explode(F.slice(F.transform("fps", lambda x: x["g"]),
+                          1, plen)).alias("g")))
+    # array_intersect is a set op — no re-sort of the full list needed
+    fpsets = agg.select(
+        "id", F.transform("fps", lambda x: x["g"]).alias("fp"))
     cand = (prefix.alias("x").join(prefix.alias("y"), "g")
             .filter(F.col("x.id") < F.col("y.id"))
             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
             .distinct())
-    # derive fpsets from `ranked`, NOT `capped`: its Exchange-on-id
-    # subtree is then byte-identical to prefix's, so ReuseExchange
-    # computes the fingerprint kernel once for both consumers (a
-    # groupBy on `capped` would plan a partial agg BELOW the exchange,
-    # a different subtree, re-running the UDF per branch)
-    fpsets = ranked.groupBy("id").agg(
-        F.sort_array(F.collect_list("g")).alias("fp"))
     return (cand
             .join(fpsets.select(F.col("id").alias("a"),
                                 F.col("fp").alias("fa")), "a")
