@@ -412,6 +412,48 @@ def q_validate_rejects(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")).orderBy("reject_reason"))
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal plumbing end-to-end (S5/P6 media analogs,
+    operators/multimodal.py) over a media table derived
+    deterministically from {sf_dir}/documents.parquet (doc_id picks
+    kind/dims/duration, payload = utf-8 text bytes): featurize
+    (n_bytes + shape-checked stub feature), aspect-preserving resize
+    geometry (np.rint half-to-even mirrored exactly in the oracle),
+    and the video frame-sample explode, joined per media row."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.multimodal import (featurize_media,
+                                                         frame_sample_plan,
+                                                         resize_media)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = d.select(
+        F.concat(F.lit("m"), did.cast("string")).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (did % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        (64 + did % 512).cast("int").alias("width"),
+        (64 + (did * 13) % 512).cast("int").alias("height"),
+        ((did % 7) * 1500).cast("int").alias("duration_ms"))
+    feats = featurize_media(media).select(
+        "media_id", "kind", "n_bytes",
+        ((F.size("feature") == 16)
+         & (F.array_min("feature") >= 0.0)
+         & (F.array_max("feature") <= 1.0)).alias("feature_ok"))
+    resized = resize_media(media).select(
+        "media_id", F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"))
+    frames = (frame_sample_plan(media)
+              .groupBy("media_id")
+              .agg(F.count(F.lit(1)).alias("n_frames")))
+    return (feats.join(resized, "media_id")
+            .join(frames, "media_id", "left")
+            .select("media_id", "kind", "n_bytes", "feature_ok",
+                    "out_width", "out_height",
+                    F.coalesce(F.col("n_frames"), F.lit(0)).cast("long")
+                     .alias("n_frames")))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -454,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_roundtrip": q_base64_roundtrip,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
+        "media_pipeline": q_media_pipeline,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -718,6 +761,48 @@ ORACLES: dict[str, str] = {
         SELECT reject_reason, CAST(count(*) AS BIGINT) AS n
         FROM tagged WHERE reject_reason IS NOT NULL
         GROUP BY 1 ORDER BY 1
+    """,
+    # Mirrors q_media_pipeline: same doc_id-derived media table, same
+    # resize geometry (np.rint half-to-even emulated via the floor-
+    # parity CASE), same frame count max(trunc(duration/1000), 1) for
+    # videos. feature_ok is asserted all-true (the stub feature is 16
+    # uint16/65535 floats by construction) so a featurizer regression
+    # fails the value hash.
+    "media_pipeline": """
+        WITH m AS (
+          SELECT 'm' || doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS kind,
+                 octet_length(encode(text)) AS n_bytes,
+                 64 + doc_id % 512 AS w,
+                 64 + (doc_id * 13) % 512 AS h,
+                 (doc_id % 7) * 1500 AS duration_ms
+          FROM documents),
+        g AS (
+          SELECT *,
+                 CASE WHEN greatest(w, h) > 224
+                      THEN 224.0 / greatest(w, h) ELSE 1.0 END AS scale
+          FROM m),
+        r AS (
+          SELECT *,
+                 w * scale AS xw, h * scale AS xh,
+                 floor(w * scale) AS fw, floor(h * scale) AS fh
+          FROM g)
+        SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(true AS BOOLEAN) AS feature_ok,
+               greatest(CASE WHEN xw - fw = 0.5
+                             THEN CAST(fw AS BIGINT) + CAST(fw AS BIGINT) % 2
+                             ELSE CAST(round(xw) AS BIGINT) END, 1)
+                 AS out_width,
+               greatest(CASE WHEN xh - fh = 0.5
+                             THEN CAST(fh AS BIGINT) + CAST(fh AS BIGINT) % 2
+                             ELSE CAST(round(xh) AS BIGINT) END, 1)
+                 AS out_height,
+               CASE WHEN kind = 'video'
+                    THEN greatest(CAST(trunc(duration_ms / 1000.0) AS BIGINT), 1)
+                    ELSE 0 END AS n_frames
+        FROM r
     """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
