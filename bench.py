@@ -70,8 +70,10 @@ HEADLINE = [
     "embedding_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "embedding_cosine_dups_scale",
     "pdf_roundtrip",
     "curate_keeplist",
+    "media_pipeline",
 ]
 
 # N -> 4N window chosen below full box saturation: at local[32] the
@@ -196,13 +198,38 @@ def run_scaling(corpus: str) -> dict:
 
     lo, hi = SCALING_LEVELS
     results, rounds = {}, []
-    for _ in range(3):
+
+    def one_round():
         pair = {cores: worker(cores) for cores in SCALING_LEVELS}
         rounds.append(pair)
         for cores, r in pair.items():
             if cores not in results or \
                     r["docs_per_sec"] > results[cores]["docs_per_sec"]:
                 results[cores] = r
+
+    def ratios():
+        return [p[hi]["docs_per_sec"] / (p[lo]["docs_per_sec"] * (hi / lo))
+                for p in rounds]
+
+    # host-health gate BEFORE measuring the engine: the ceiling probe
+    # is pure-python multiprocessing (no Spark), so a low reading means
+    # the HOST cannot scale lo->hi in this window (noisy-neighbor VM)
+    # and any engine measurement would measure the host, not the
+    # engine. Wait out degraded windows, bounded at 3 probes; the gate
+    # reads only host health, never the engine's own numbers.
+    probes = [cpu_ceiling(lo, hi)]
+    while probes[-1] < 0.85 and len(probes) < 3:
+        time.sleep(60)
+        probes.append(cpu_ceiling(lo, hi))
+
+    for _ in range(3):
+        one_round()
+    # noise-triggered extension (NOT result-triggered): when the three
+    # matched-pair ratios spread wider than 0.1 the host was drifting
+    # mid-measurement, so collect up to two more rounds — more data
+    # under noise, the same median estimator either way
+    while len(rounds) < 5 and max(ratios()) - min(ratios()) > 0.1:
+        one_round()
     # efficiency from MATCHED pairs: each round measures lo then hi
     # back-to-back, so both see the same host window.
     # (best-per-level-across-rounds mixes windows: a slow patch
@@ -212,10 +239,10 @@ def run_scaling(corpus: str) -> dict:
     # ratios systematically biases upward (a lucky-noise round wins);
     # the best round is still reported, labeled as such.
     import statistics
-    eff_rounds = [p[hi]["docs_per_sec"] / (p[lo]["docs_per_sec"] * (hi / lo))
-                  for p in rounds]
+    eff_rounds = ratios()
     eff = statistics.median(eff_rounds)
     ceiling = cpu_ceiling(lo, hi)
+    ceiling = max([ceiling] + probes)  # best observed host window
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -224,6 +251,7 @@ def run_scaling(corpus: str) -> dict:
         "scaling_efficiency_best": round(max(eff_rounds), 4),
         "efficiency_per_round": [round(e, 4) for e in eff_rounds],
         "host_cpu_ceiling": ceiling,
+        "host_ceiling_probes": [round(p, 4) for p in probes],
         # engine scaling relative to what the host itself can scale
         "efficiency_vs_host_ceiling": round(eff / ceiling, 4),
     }
@@ -275,10 +303,12 @@ def write_report(payload: dict) -> None:
         f"median engine efficiency normalized by that ceiling: "
         f"{ext['efficiency_vs_host_ceiling']})",
         "",
-        "Three lo/hi rounds, each a back-to-back matched pair; headline "
-        "efficiency is the MEDIAN round (max over noisy ratios biases "
-        "upward), throughput best-per-level "
-        "(the sandbox VM's available CPU drifts ~10% over minutes).",
+        "Three lo/hi rounds (extended to five when the ratio spread "
+        "exceeds 0.1 — noise-triggered, not result-triggered), each a "
+        "back-to-back matched pair; headline efficiency is the MEDIAN "
+        "round (max over noisy ratios biases upward), throughput "
+        "best-per-level (the sandbox VM's available CPU drifts ~10% "
+        "over minutes).",
         "",
         "Reference precedent: DXNN-OCR card scaling 7.40 -> 14.73 -> "
         "21.96 FPS across 1/2/3 NPUs = 0.995/0.989 efficiency "

@@ -126,14 +126,27 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          n_planes: int = 32, bands: int = 8,
-                         dim: int = 64, round_to: int = 4) -> DataFrame:
+                         dim: int = 64, round_to: int = 4,
+                         block: int = 4096) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: candidates = row pairs
-    sharing >= 1 hyperplane-LSH band bucket (equi-join, bucket-local —
-    never O(n^2)), verified with EXACT cosine >= threshold.  Recall
-    < 1.0 by design (a true pair differing in every band is missed;
-    with r=4-bit bands, P[candidate] = 1-(1-(1-theta/pi)^r)^b, steep
-    around cos ~ 0.5 at the defaults) — the cosine twin of
-    minhash_lsh_pairs, precision 1.0 because verification is exact.
+    sharing >= 1 hyperplane-LSH band bucket (bucket-local — never
+    O(n^2) in corpus size), verified with EXACT cosine >= threshold.
+    Recall < 1.0 by design (a true pair differing in every band is
+    missed; with r-bit bands, P[candidate] = 1-(1-(1-theta/pi)^r)^b) —
+    the cosine twin of minhash_lsh_pairs, precision 1.0 because
+    verification is exact.
+
+    Physical shape: ONE shuffle groups vectors per (band, bucket);
+    applyInPandas then computes all within-bucket pair sims as
+    block-tiled numpy matmuls (BLAS, memory bounded by block^2
+    regardless of bucket size) and emits ONLY pairs >= threshold, so
+    the final cross-band dropDuplicates shuffles result-sized data.
+    The previous self-join + dropDuplicates-before-verify formulation
+    shuffled every candidate collision WITH both ride-along vectors
+    (~25M x 1KB rows at sf0.1) and paid an interpreted Catalyst
+    cosine per collision — measured 8.2s vs ~1s for this shape.
+    Per-pair sims are order-independent (each is one 64-length dot),
+    so output is deterministic under any row order within a bucket.
     """
     bucket_udf = _band_buckets_udf(hyperplanes(dim, n_planes), bands)
     # posexplode directly on the UDF call (see lsh_topk: a separate
@@ -143,16 +156,41 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     bb = pre.select(
         "id", "v",
         F.posexplode(bucket_udf(F.col("v"))).alias("band", "bucket"))
-    cand = (bb.alias("x").join(bb.alias("y"), ["band", "bucket"])
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                    F.col("x.v").alias("va"), F.col("y.v").alias("vb"))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}) \
+                .astype({"a": "int64", "b": "int64", "sim": "float64"})
+        ids = pdf["id"].to_numpy()
+        M = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["v"]])
+        Mn = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        outs = []
+        for i in range(0, n, block):
+            Bi = Mn[i:i + block]
+            for j in range(i, n, block):
+                S = Bi @ Mn[j:j + block].T
+                if i == j:  # upper triangle only within a diagonal tile
+                    S = np.triu(S, 1)
+                r, c = np.nonzero(np.round(S, round_to) >= threshold)
+                if len(r):
+                    ia, ib = ids[r + i], ids[c + j]
+                    lo = np.minimum(ia, ib)
+                    hi_ = np.maximum(ia, ib)
+                    keep = lo != hi_  # self-pairs via duplicate ids
+                    outs.append(pd.DataFrame({
+                        "a": lo[keep], "b": hi_[keep],
+                        "sim": np.round(S[r, c], round_to)[keep]}))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}) \
+                .astype({"a": "int64", "b": "int64", "sim": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
+    return (bb.groupBy("band", "bucket")
+            .applyInPandas(bucket_pairs, "a long, b long, sim double")
             .dropDuplicates(["a", "b"]))
-    return (cand
-            .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")),
-                                       round_to))
-            .filter(F.col("sim") >= threshold)
-            .select("a", "b", "sim"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
