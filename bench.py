@@ -218,8 +218,8 @@ def run_scaling(corpus: str) -> dict:
     # engine. Wait out degraded windows, bounded at 3 probes; the gate
     # reads only host health, never the engine's own numbers.
     probes = [cpu_ceiling(lo, hi)]
-    while probes[-1] < 0.85 and len(probes) < 3:
-        time.sleep(60)
+    while probes[-1] < 0.85 and len(probes) < 5:
+        time.sleep(90)
         probes.append(cpu_ceiling(lo, hi))
 
     for _ in range(3):
@@ -230,6 +230,15 @@ def run_scaling(corpus: str) -> dict:
     # under noise, the same median estimator either way
     while len(rounds) < 5 and max(ratios()) - min(ratios()) > 0.1:
         one_round()
+    # recovery rounds: if the host was degraded for every pre-run probe
+    # but measures healthy now, the measurement window was bad — sample
+    # up to two more rounds in the healthy window. All rounds and all
+    # probes are published; the median runs over everything.
+    post = cpu_ceiling(lo, hi)
+    probes.append(post)
+    if post >= 0.85 and max(probes[:-1]) < 0.85:
+        while len(rounds) < 5:
+            one_round()
     # efficiency from MATCHED pairs: each round measures lo then hi
     # back-to-back, so both see the same host window.
     # (best-per-level-across-rounds mixes windows: a slow patch
@@ -241,8 +250,8 @@ def run_scaling(corpus: str) -> dict:
     import statistics
     eff_rounds = ratios()
     eff = statistics.median(eff_rounds)
-    ceiling = cpu_ceiling(lo, hi)
-    ceiling = max([ceiling] + probes)  # best observed host window
+    ceiling = max(probes)  # best observed host window (probes bracket
+    #                        the measurement: pre-gate + post-run)
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
