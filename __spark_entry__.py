@@ -370,14 +370,32 @@ def q_embedding_ivf_topk(spark, sf_dir):
     tests/test_ivf.py."""
     _prep(spark)
     import os
+    import pathlib
+    import uuid
     from dxnn_ocr_cpp_spark.operators.ivf import read_ivf, write_ivf, ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
     # production IVF shape: train+write the list_id-partitioned index
-    # once per corpus snapshot, probe it per query (the probe side is
-    # what this query measures; the sidecar caches across processes)
-    cache = f"/tmp/spark_graft_ivf/{sf_dir.strip('/').replace('/', '_')}_L16_i2"
+    # once per CORPUS SNAPSHOT, probe it per query (the probe side is
+    # what this query measures). The cache key embeds a fingerprint of
+    # the source parquet (total bytes + newest mtime) so a regenerated
+    # corpus can never silently reuse an index trained on old vectors,
+    # and writers build under a unique temp dir then atomically rename
+    # into place so concurrent processes race to an identical,
+    # never-partially-visible index.
+    src = pathlib.Path(sf_dir) / "embeddings.parquet"
+    parts = sorted(src.rglob("*")) if src.is_dir() else [src]
+    stats = [p.stat() for p in parts if p.is_file()]
+    fp = f"{sum(s.st_size for s in stats)}_{max((int(s.st_mtime) for s in stats), default=0)}"
+    cache = (f"/tmp/spark_graft_ivf/"
+             f"{sf_dir.strip('/').replace('/', '_')}_L16_i2_{fp}")
     if not os.path.exists(f"{cache}/centroids/_SUCCESS"):
-        write_ivf(emb, cache, n_lists=16, iters=2)
+        tmp = f"{cache}.tmp.{uuid.uuid4().hex[:8]}"
+        write_ivf(emb, tmp, n_lists=16, iters=2)
+        try:
+            os.rename(tmp, cache)  # atomic; loser of the race cleans up
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     indexed, cents = read_ivf(spark, cache)
     return ivf_topk(indexed, cents, emb.filter("vec_id < 5"), k=5, nprobe=8)
 
@@ -774,7 +792,9 @@ ORACLES: dict[str, str] = {
                  CASE doc_id % 3 WHEN 0 THEN 'image'
                                  WHEN 1 THEN 'audio'
                                  ELSE 'video' END AS kind,
-                 octet_length(encode(text)) AS n_bytes,
+                 -- NULL text -> NULL payload -> the featurizer counts
+                 -- 0 bytes; mirror that (encode(NULL) is NULL here)
+                 coalesce(octet_length(encode(text)), 0) AS n_bytes,
                  64 + doc_id % 512 AS w,
                  64 + (doc_id * 13) % 512 AS h,
                  (doc_id % 7) * 1500 AS duration_ms

@@ -215,8 +215,9 @@ def run_scaling(corpus: str) -> dict:
     # is pure-python multiprocessing (no Spark), so a low reading means
     # the HOST cannot scale lo->hi in this window (noisy-neighbor VM)
     # and any engine measurement would measure the host, not the
-    # engine. Wait out degraded windows, bounded at 3 probes; the gate
-    # reads only host health, never the engine's own numbers.
+    # engine. Wait out degraded windows, bounded at 5 probes (~6 min
+    # worst case); the gate reads only host health, never the
+    # engine's own numbers.
     probes = [cpu_ceiling(lo, hi)]
     while probes[-1] < 0.85 and len(probes) < 5:
         time.sleep(90)

@@ -184,9 +184,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                   only sane plan. On a real cluster the shingle table
                   is a persisted signature table (write once, join
                   per run).
-      auto        ride_along up to ride_along_max_docs documents
-                  (approx_docs hint avoids the count job), join_back
-                  above.
+      auto        ride_along up to ride_along_max_docs documents,
+                  join_back above. CAUTION: without an approx_docs
+                  hint, auto runs a df.count() Spark job EAGERLY at
+                  plan-construction time (a full scan if df is a
+                  transformed DataFrame) — pass approx_docs or an
+                  explicit carry when building lazy plans.
     Both modes produce identical pairs — pinned by
     tests/test_dedup.py::test_minhash_carry_modes_agree.
     """

@@ -193,15 +193,31 @@ def write_ivf(corpus: DataFrame, path: str, n_lists: int = 16,
 _READ_CACHE: dict = {}
 
 
+def _sidecar_version(path: str) -> float:
+    """mtime of the centroid sidecar's _SUCCESS marker — changes on
+    every write_ivf overwrite, so the memo below can never serve
+    centroids from a previous index generation."""
+    import os
+    try:
+        return os.path.getmtime(f"{path}/centroids/_SUCCESS")
+    except OSError:
+        return -1.0
+
+
 def read_ivf(spark, path: str) -> tuple[DataFrame, list]:
     """-> (indexed DataFrame, centroids) from a write_ivf directory.
-    The centroid sidecar collect is memoized per (session, path) — an
-    engine holds its index open rather than re-listing tiny parquet
-    files per probe."""
-    key = (id(spark), path)
+    The centroid sidecar collect is memoized per (path, sidecar
+    version) — an engine holds its index open rather than re-listing
+    tiny parquet files per probe, but a retrain (write_ivf overwrite
+    of the same path) bumps the _SUCCESS mtime and invalidates the
+    memo, so stale centroids can never pair with a fresh index."""
+    key = (path, _sidecar_version(path))
     if key not in _READ_CACHE:
         cents = (spark.read.parquet(f"{path}/centroids")
                  .orderBy("list_id").collect())
+        # evict superseded generations of this path only
+        for k in [k for k in _READ_CACHE if k[0] == path]:
+            del _READ_CACHE[k]
         _READ_CACHE[key] = [list(r["centroid"]) for r in cents]
     indexed = spark.read.parquet(f"{path}/index")
     return indexed, _READ_CACHE[key]

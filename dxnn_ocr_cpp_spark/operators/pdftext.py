@@ -311,7 +311,12 @@ def _page_record(objs: dict, idx: int, pid: int) -> tuple:
             data = _stream_body(cbody)
             if data is None:
                 continue
-            fm = _FILTER_RE.search(cbody[:cbody.find(b"stream")])
+            # /Filter lives in the object dict BEFORE the stream
+            # keyword; bound the search by the keyword match, not by a
+            # bare 'stream' substring which a dict string value (e.g.
+            # '(stream)') could fake out earlier
+            sk = _STREAM_START_RE.search(cbody)
+            fm = _FILTER_RE.search(cbody[:sk.start()] if sk else cbody)
             filt = (fm.group(1) or fm.group(2)).decode() if fm else None
             if filt == "FlateDecode":
                 try:

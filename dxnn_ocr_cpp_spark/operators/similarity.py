@@ -147,7 +147,13 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     cosine per collision — measured 8.2s vs ~1s for this shape.
     Per-pair sims are order-independent (each is one 64-length dot),
     so output is deterministic under any row order within a bucket.
+    Sims match the exact twin's formula term for term; only the final
+    decimal rounding can differ by one 10^-round_to ulp (binary
+    half-even here vs Spark's decimal HALF_UP there).
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (the diagonal-tile "
+                         "triu mask relies on 0 being below it)")
     bucket_udf = _band_buckets_udf(hyperplanes(dim, n_planes), bands)
     # posexplode directly on the UDF call (see lsh_topk: a separate
     # select plans a dead duplicate ArrowEvalPython under Generate)
@@ -165,16 +171,26 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
         ids = pdf["id"].to_numpy()
         M = np.asarray([np.asarray(v, dtype=np.float64)
                         for v in pdf["v"]])
-        Mn = M / np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        norms = np.linalg.norm(M, axis=1)
         outs = []
         for i in range(0, n, block):
-            Bi = Mn[i:i + block]
             for j in range(i, n, block):
-                S = Bi @ Mn[j:j + block].T
+                # EXACTLY the cosine() Column formula: dot / max(na*nb,
+                # 1e-12) — clamping the norm PRODUCT, not each norm, so
+                # degenerate near-zero vectors score identically to the
+                # exact all-pairs twin
+                dots = M[i:i + block] @ M[j:j + block].T
+                denom = np.maximum(
+                    np.outer(norms[i:i + block], norms[j:j + block]),
+                    1e-12)
+                # np.round is binary half-even vs Spark's decimal
+                # HALF_UP: sims within ~1e-12 of a .00005 decimal
+                # boundary may round one ulp apart (tests compare with
+                # 1e-4 tolerance for this reason)
+                S = np.round(dots / denom, round_to)
                 if i == j:  # upper triangle only within a diagonal tile
                     S = np.triu(S, 1)
-                r, c = np.nonzero(np.round(S, round_to) >= threshold)
+                r, c = np.nonzero(S >= threshold)
                 if len(r):
                     ia, ib = ids[r + i], ids[c + j]
                     lo = np.minimum(ia, ib)
@@ -182,7 +198,7 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
                     keep = lo != hi_  # self-pairs via duplicate ids
                     outs.append(pd.DataFrame({
                         "a": lo[keep], "b": hi_[keep],
-                        "sim": np.round(S[r, c], round_to)[keep]}))
+                        "sim": S[r, c][keep]}))
         if not outs:
             return pd.DataFrame({"a": [], "b": [], "sim": []}) \
                 .astype({"a": "int64", "b": "int64", "sim": "float64"})

@@ -225,9 +225,8 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs with at least one (likely several) copied passage(s) of
     length >= w+k-1 chars. Inverted index with a hot-fingerprint cap
     (skew guard, candidate-cap analog of db_postprocess.cpp:53), then
-    posting-list pair emission: per fingerprint the (sorted, <= cap)
-    doc-id list, pairs generated and chunk-wise pre-counted in one
-    numpy kernel. Never O(n^2) in corpus size.
+    prefix-filter candidate generation + exact array_intersect verify
+    (details below). Never O(n^2) in corpus size.
 
     Why prefix filtering instead of the plain inverted-index self-join:
     a shared passage/template yields ~2*len/(w+1) fingerprints all

@@ -70,6 +70,21 @@ def test_persisted_index_roundtrip(spark, emb, index, tmp_path):
     assert a == b
 
 
+def test_retrain_invalidates_centroid_memo(spark, emb, tmp_path):
+    """Overwriting an index path with a retrain must NOT serve stale
+    memoized centroids against the new list_id partitions (round-2
+    review finding: the memo was keyed on (session, path) forever)."""
+    import time
+    from dxnn_ocr_cpp_spark.operators.ivf import read_ivf, write_ivf
+    path = str(tmp_path / "ivf")
+    write_ivf(emb, path, n_lists=8, iters=1)
+    _, cents_a = read_ivf(spark, path)
+    time.sleep(1.1)  # distinct _SUCCESS mtime at 1s filesystem resolution
+    write_ivf(emb, path, n_lists=16, iters=2)  # retrain, different shape
+    _, cents_b = read_ivf(spark, path)
+    assert len(cents_a) == 8 and len(cents_b) == 16
+
+
 def test_sampled_training_recall(spark, emb):
     """Training Lloyd on a 30% seeded sample (the 10^12-row path) must
     still index every vector and keep a useful recall floor."""

@@ -18,14 +18,18 @@ def emb(spark):
 
 
 def test_scale_pairs_subset_of_exact(emb):
+    # exact side widened one rounding ulp so a boundary pair rounded up
+    # by the numpy kernel but down by Spark still has a reference entry
     exact = {(r.a, r.b): r.sim
-             for r in cosine_dup_pairs_exact(emb, threshold=0.4).collect()}
+             for r in cosine_dup_pairs_exact(emb, threshold=0.3999).collect()}
     scale = {(r.a, r.b): r.sim
              for r in cosine_dup_pairs_lsh(emb, threshold=0.4).collect()}
     assert scale, "LSH path found no pairs at all"
-    # precision 1.0: identical sim for every reported pair
+    # precision 1.0: every reported pair is a true pair; sims equal up
+    # to one final-rounding ulp (numpy binary half-even vs Spark
+    # decimal HALF_UP can differ at .00005 decimal boundaries)
     for k, sim in scale.items():
-        assert k in exact and exact[k] == sim
+        assert k in exact and abs(exact[k] - sim) <= 1e-4 + 1e-12
     # recall: banded candidates should recover most true pairs here
     # (high-sim pairs are near-certain candidates; the S-curve tail
     # around the 0.4 threshold loses some)

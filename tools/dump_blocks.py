@@ -46,6 +46,8 @@ def render_doc(url: str, blocks: list, cfg) -> str:
     for b in blocks:
         if b["block_id"] is None:
             continue
+        # mirrors emit.span_filter exactly (change that, change this —
+        # the debug tool must explain the engine's actual predicate)
         ld = b["n_link_chars"] / max(b["n_text_chars"], 1)
         kept = (b["score"] >= cfg.box_thresh
                 and b["score"] >= cfg.rec_score_thresh
@@ -55,6 +57,8 @@ def render_doc(url: str, blocks: list, cfg) -> str:
         cls = "kept" if kept else "dropped"
         reason = "" if kept else (
             " &larr; low score" if b["score"] < cfg.box_thresh else
+            " &larr; below rec thresh" if b["score"] < cfg.rec_score_thresh
+            else
             " &larr; too short" if b["n_text_chars"] < cfg.min_text_chars else
             " &larr; link-dense" if ld > cfg.max_link_density else
             " &larr; empty")
