@@ -253,6 +253,14 @@ def run_scaling(corpus: str) -> dict:
     eff = statistics.median(eff_rounds)
     ceiling = max(probes)  # best observed host window (probes bracket
     #                        the measurement: pre-gate + post-run)
+    # validity: a ceiling probe > 1.05 is physically impossible under
+    # stable CPU (the host throttled the probe's LOW-parallelism phase
+    # relative to its high one — mid-measurement drift), and a > 0.2
+    # spread across matched rounds means different rounds saw
+    # different hosts. Label the window rather than publish a number
+    # that reads as an engine property.
+    unstable = max(probes) > 1.05 or \
+        (max(eff_rounds) - min(eff_rounds) > 0.2)
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -264,6 +272,7 @@ def run_scaling(corpus: str) -> dict:
         "host_ceiling_probes": [round(p, 4) for p in probes],
         # engine scaling relative to what the host itself can scale
         "efficiency_vs_host_ceiling": round(eff / ceiling, 4),
+        "host_window_unstable": unstable,
     }
 
 
@@ -313,6 +322,16 @@ def write_report(payload: dict) -> None:
         f"median engine efficiency normalized by that ceiling: "
         f"{ext['efficiency_vs_host_ceiling']})",
         "",
+    ]
+    if ext.get("host_window_unstable"):
+        lines += [
+            "**Host window flagged UNSTABLE during this run** (a ceiling "
+            "probe > 1.05, or matched-round ratio spread > 0.2): the "
+            "numbers above measure the drifting VM as much as the "
+            "engine. Re-run in a stable window before comparing.",
+            "",
+        ]
+    lines += [
         "Three lo/hi rounds (extended to five when the ratio spread "
         "exceeds 0.1 — noise-triggered, not result-triggered), each a "
         "back-to-back matched pair; headline efficiency is the MEDIAN "
