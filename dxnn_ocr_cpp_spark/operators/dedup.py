@@ -45,9 +45,14 @@ def _tokenize(s: str) -> list:
     return _WS_RUN.sub(" ", s.strip(" ").lower()).split(" ")
 
 
-def _gram_hashes(s, n: int) -> np.ndarray:
-    """Distinct word n-grams of one doc -> sorted int64 blake2b-64
-    hashes (stable across processes/partitionings, unlike hash())."""
+def _gram_hashes(s, n: int, hasher: str = "blake2b") -> np.ndarray:
+    """Distinct word n-grams of one doc -> sorted int64 hashes (stable
+    across processes/partitionings, unlike hash()).
+
+    hasher "blake2b" (production, 8-byte digest) or "md5" (first 8
+    digest bytes, big-endian signed — EXACTLY the int64 an engine gets
+    from CAST('0x' || substr(md5(g), 1, 16)) two's-complement, which is
+    what makes the md5 family DuckDB-oracle-replayable)."""
     if s is None:
         return np.empty(0, dtype=np.int64)
     w = _tokenize(s)
@@ -55,10 +60,13 @@ def _gram_hashes(s, n: int) -> np.ndarray:
         grams = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
     else:
         grams = {" ".join(w)}
+    if hasher == "md5":
+        digest = lambda g: hashlib.md5(g.encode("utf-8")).digest()[:8]  # noqa: E731
+    else:
+        digest = lambda g: hashlib.blake2b(  # noqa: E731
+            g.encode("utf-8"), digest_size=8).digest()
     arr = np.fromiter(
-        (int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
-            "big", signed=True) for g in grams),
+        (int.from_bytes(digest(g), "big", signed=True) for g in grams),
         dtype=np.int64, count=len(grams))
     arr.sort()
     return arr
@@ -78,6 +86,24 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------- word n-gram shingles (shared) ----------
+
+def word_grams(text_col, n: int = 3):
+    """Distinct word n-grams as STRINGS, pure Catalyst — the
+    oracle-replayable twin of word_shingle_hashes (same token sets:
+    split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '),
+    same short-doc fallback to the whole token string).
+
+    The per-gram slice+array_join is O(words^2) per doc, and downstream
+    shuffles carry n-word strings instead of 8-byte longs — this is the
+    verification-family builder, not the scale path (use
+    word_shingle_hashes in production)."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "))
+    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array(F.array_join(w, " ")))
+
 
 def word_shingle_hashes(text_col, n: int = 3):
     """Distinct word n-grams hashed to int64, via ONE vectorized-batch
@@ -145,12 +171,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- MinHash + LSH ----------
 
-def minhash_signature(shingles_col, num_perm: int = 64):
-    """num_perm minhashes via seeded xxhash64: h_i(S) = min over
-    shingles of xxhash64(shingle, i). No Python, no stored permutation
-    tables — the seed IS the permutation."""
+def minhash_signature(shingles_col, num_perm: int = 64,
+                      hash_family: str = "xxhash64"):
+    """num_perm minhashes via a seeded hash family: h_i(S) = min over
+    shingles of hash(shingle, i). No Python, no stored permutation
+    tables — the seed IS the permutation.
+
+    hash_family:
+      xxhash64  production default over int64 shingle hashes (JVM
+                intrinsic, engine-specific mixing)
+      md5       over gram STRINGS: h_i(g) = md5('i:' || g), minimum
+                taken lexicographically over the hex digests. Slower
+                (string keys) but bit-replayable in ANY engine with
+                md5 — this family powers the DuckDB oracle that proves
+                the banding/join/verify logic end-to-end."""
+    # seed capture MUST be a closure factory, not a `lambda s, i=i:`
+    # default arg — pyspark counts the lambda's parameters, and a
+    # second parameter silently selects transform's binary
+    # (element, INDEX) form, swapping the seed literal for the array
+    # index. With per-doc-sorted shingle arrays that made h_i depend on
+    # each doc's array layout: near-identical sets agreed on 0/64
+    # signature positions and LSH recall collapsed to exact-dup pairs
+    # (caught by the md5-family DuckDB oracle; pinned by
+    # test_dedup.py::test_minhash_signature_agreement).
+    if hash_family == "md5":
+        def _h(i):
+            return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
+    else:
+        def _h(i):
+            return lambda s: F.xxhash64(s, F.lit(i))
     return F.array(*[
-        F.array_min(F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(shingles_col, _h(i)))
         for i in range(num_perm)
     ])
 
@@ -162,7 +213,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       verify: bool = True,
                       carry: str = "auto",
                       ride_along_max_docs: int = 1_000_000,
-                      approx_docs: int | None = None) -> DataFrame:
+                      approx_docs: int | None = None,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH; optionally
     verified with exact Jaccard on the shingle sets.
 
@@ -192,23 +244,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                   explicit carry when building lazy plans.
     Both modes produce identical pairs — pinned by
     tests/test_dedup.py::test_minhash_carry_modes_agree.
+
+    hash_family "md5" swaps the shingle/permutation/bucket hashing for
+    md5-based equivalents (see minhash_signature) while keeping the
+    banding, candidate join, dedupe, and exact-Jaccard verify code
+    paths IDENTICAL — the md5 family is what the DuckDB oracle can
+    replay bit-for-bit, so it certifies this operator's pair-mining
+    logic, not just its own output.
     """
     if carry not in ("auto", "ride_along", "join_back"):
         raise ValueError(f"carry must be auto|ride_along|join_back, got {carry}")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_family must be xxhash64|md5, got {hash_family}")
     if carry == "auto":
         n_docs = approx_docs if approx_docs is not None else df.count()
         carry = "ride_along" if n_docs <= ride_along_max_docs else "join_back"
     rows_per_band = num_perm // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingle_hashes(F.col(text_col), n).alias("sh"))
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    if hash_family == "md5":
+        sh = df.select(F.col(id_col).alias("id"),
+                       word_grams(F.col(text_col), n).alias("sh"))
+    else:
+        sh = df.select(F.col(id_col).alias("id"),
+                       word_shingle_hashes(F.col(text_col), n).alias("sh"))
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_perm, hash_family))
+
+    def _bucket(b: int):
+        cols = [F.col("sig")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_family == "md5":
+            # oracle-replayable: the band key is the '|'-joined hex
+            # minhashes themselves (string_agg ORDER BY i in SQL)
+            return F.concat_ws("|", *cols)
+        return F.xxhash64(*cols)
 
     def band_structs():
         return F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)]).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb")
 
@@ -254,18 +326,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- SimHash ----------
 
-def simhash64(text_col, token_n: int = 2):
+def simhash64(text_col, token_n: int = 2, hash_family: str = "blake2b"):
     """64-bit SimHash over distinct word n-gram tokens:
-    bit_j = majority vote of bit_j(blake2b64(token)) across tokens.
+    bit_j = majority vote of bit_j(hash64(token)) across tokens.
 
     ONE fused pandas UDF (tokenize + hash + whole-batch numpy bit-vote
     via reduceat) — the NPU-call-shaped hybrid; a pure-Column version
-    needs 64 aggregate passes and is ~100x slower."""
+    needs 64 aggregate passes and is ~100x slower.
+
+    hash_family "md5" takes the token hash from the first 8 md5 digest
+    bytes instead of blake2b — identical vote/signature kernel, but the
+    bits are reproducible in any engine with md5 (DuckDB oracle)."""
     @F.pandas_udf(T.LongType())
     def simhash_from_text(texts: pd.Series) -> pd.Series:
         bitpos = np.arange(64, dtype=np.uint64)
         n = len(texts)
-        per_doc = [_gram_hashes(s, token_n) for s in texts]
+        per_doc = [_gram_hashes(s, token_n, hash_family) for s in texts]
         lens = np.fromiter((len(a) for a in per_doc), np.int64, n)
         out = np.zeros(n, dtype=np.int64)
         nz = lens > 0
@@ -287,7 +363,8 @@ def simhash64(text_col, token_n: int = 2):
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  hash_family: str = "blake2b") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via
     the pigeonhole trick: split the 64-bit hash into max_hamming+1
     pieces; any pair within the distance agrees exactly on >=1 piece ->
@@ -302,7 +379,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     n_pieces = max_hamming + 1
     width = 64 // n_pieces  # remainder bits ride in the last piece
     s = df.select(F.col(id_col).alias("id"),
-                  simhash64(F.col(text_col)).alias("sim"))
+                  simhash64(F.col(text_col),
+                            hash_family=hash_family).alias("sim"))
 
     def piece_val(p: int):
         bits = 64 - p * width if p == n_pieces - 1 else width

@@ -14,7 +14,7 @@ applied corpus-wide; fingerprint is the golden-hash idea
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small per-language stopword marker sets (n-gram heuristic lang-id).
@@ -215,6 +215,77 @@ def winnow_fingerprints(text_col, k: int = 8, w: int = 16):
         return pd.Series([_winnow_one(s, k, w) for s in texts])
 
     return winnow(text_col)
+
+
+def winnow_fingerprints_catalyst(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text", k: int = 8,
+                                 w: int = 16) -> DataFrame:
+    """(id, h) distinct winnowed md5 char-k-gram fingerprints — the
+    pure-Catalyst, oracle-replayable twin of winnow_fingerprints.
+
+    Same selection scheme as the kernel (Schleimer et al., SIGMOD'03
+    robust winnowing: per length-w window of consecutive k-gram hashes
+    take the minimum, rightmost on ties), but over md5 hex digests of
+    CHARACTER k-grams instead of rolling byte hashes, so every step is
+    a built-in both Spark and DuckDB evaluate identically:
+
+      gram hash   md5(substring(canon, pos, k))        (hex string)
+      tie-break   key = h || lpad(10^9-1 - pos, 9, '0') — for equal h
+                  a LARGER pos yields a SMALLER suffix, so min(key)
+                  IS the rightmost minimum
+      window min  min(key) OVER (PARTITION BY doc ORDER BY pos
+                                 ROWS CURRENT..w-1 FOLLOWING),
+                  kept only for window-start rows pos <= n_grams-w+1
+      short docs  n_grams <= w -> the single start pos=1 covers the
+                  whole doc (global rightmost min), matching the
+                  kernel's short-doc branch; text shorter than k chars
+                  hashes as one whole-string gram; empty text -> none
+
+    The window-min shares the (id, pos) sort the explode produces, so
+    the plan is scan -> explode -> one exchange on id -> window — same
+    shuffle count as the kernel path at any scale."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = (df.select(F.col(id_col).alias("id"), canon.alias("c"))
+           .filter(F.length("c") > 0)
+           .withColumn("ng", F.greatest(F.length("c") - F.lit(k - 1),
+                                        F.lit(1))))
+    grams = (d.select(
+        "id", "ng", "c",
+        F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("pos"))
+        .select("id", "ng", "pos",
+                F.md5(F.substring(F.col("c"), F.col("pos"), F.lit(k)))
+                 .alias("h")))
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(999_999_999) - F.col("pos")).cast("string"), 9, "0"))
+    win = (Window.partitionBy("id").orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    return (grams.withColumn("key", key)
+            .withColumn("mk", F.min("key").over(win))
+            .filter(F.col("pos")
+                    <= F.greatest(F.col("ng") - F.lit(w - 1), F.lit(1)))
+            .select("id", F.substring("mk", 1, 32).alias("h"))
+            .distinct())
+
+
+def winnow_pairs_catalyst(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8, w: int = 16,
+                          min_common: int = 3,
+                          max_fp_df: int = 1000) -> DataFrame:
+    """winnow_pairs over the md5/Catalyst fingerprint family — doc
+    pairs sharing >= min_common winnowed fingerprints, with the same
+    hot-fingerprint df cap skew guard. Simple inverted-index self-join
+    formulation (the md5 family exists to be replayed by the DuckDB
+    oracle, which certifies the window-min selection AND this pair
+    mining; the kernel path keeps the prefix-filter optimization)."""
+    sel = winnow_fingerprints_catalyst(df, id_col, text_col, k, w)
+    freq = sel.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    sf = sel.join(freq.filter(F.col("c") <= max_fp_df), "h").drop("c")
+    return (sf.alias("x").join(sf.alias("y"), "h")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
 
 
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -100,3 +100,65 @@ def test_auto_threshold_picks_mode(spark):
     assert any("sh#" in c for c in band_exchange_inputs(lo))
     assert band_exchange_inputs(hi) and \
         all("sh#" not in c for c in band_exchange_inputs(hi))
+
+
+def test_minhash_signature_agreement(spark):
+    """Regression for the pyspark higher-order-function trap: a seed
+    captured via `lambda s, i=i:` gives the lambda TWO parameters, which
+    silently selects transform's binary (element, INDEX) form — h_i then
+    depended on each doc's array layout and near-identical shingle sets
+    agreed on 0/64 signature positions (LSH recall collapsed to
+    exact-dup pairs). Caught by the md5-family DuckDB oracle.
+
+    Pin the minhash property directly: hash determinism across docs
+    (identical sets -> identical signatures) and E[agreement] = jaccard
+    (sets sharing 9/11 elements must agree on far more than the broken
+    implementation's ~0 positions)."""
+    from dxnn_ocr_cpp_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, list(range(1, 11))),       # {1..10}
+         (2, list(range(1, 11))),       # identical set, different doc
+         (3, list(range(1, 10)) + [99])],  # shares 9/11 distinct -> j~0.82
+        "id: long, sh: array<long>")
+    sig = {r.id: r.sig for r in df.select(
+        "id", minhash_signature(F.col("sh"), 64).alias("sig")).collect()}
+    assert sig[1] == sig[2], "identical sets must give identical signatures"
+    agree = sum(1 for a, b in zip(sig[1], sig[3]) if a == b)
+    # E[agree] = 64 * 9/11 ~ 52; broken impl gives ~0. 32 is a safe floor.
+    assert agree >= 32, f"signature agreement {agree}/64 — hash family broken"
+
+
+def test_minhash_recall_matches_exact_at_test_sf(spark):
+    """End-to-end recall pin: on the sf0.001 corpus every true pair has
+    jaccard >= 0.88, where banded LSH (b=16, r=4) capture probability is
+    1 - ~1e-7 — so the verified LSH output must EQUAL the exact-Jaccard
+    pair set, for both hash families (deterministic hashes -> stable)."""
+    from dxnn_ocr_cpp_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = docs(spark)
+    exact = {(r.a, r.b) for r in
+             ngram_jaccard_pairs(d, threshold=0.4).collect()}
+    assert exact, "corpus should contain near-dup pairs"
+    for fam in ("xxhash64", "md5"):
+        got = {(r.a, r.b) for r in
+               minhash_lsh_pairs(d, threshold=0.4, carry="ride_along",
+                                 hash_family=fam).collect()}
+        assert got == exact, (f"{fam}: missed {exact - got}, "
+                              f"false {got - exact}")
+
+
+def test_minhash_md5_family_replayable(spark):
+    """The md5 family's whole point: h_i(g) = md5('i:'||g) must be
+    reproducible with stdlib hashlib (== any engine's md5)."""
+    import hashlib
+
+    from dxnn_ocr_cpp_spark.operators.dedup import minhash_signature
+
+    grams = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    df = spark.createDataFrame([(grams,)], "sh: array<string>")
+    got = df.select(
+        minhash_signature(F.col("sh"), 8, "md5").alias("sig")).first().sig
+    want = [min(hashlib.md5(f"{i}:{g}".encode()).hexdigest() for g in grams)
+            for i in range(8)]
+    assert got == want
