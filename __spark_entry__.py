@@ -309,6 +309,58 @@ def q_simhash_pairs(spark, sf_dir):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_minhash_lsh_pairs_md5(spark, sf_dir):
+    """MinHash+LSH pairs over the md5 hash family — the fully
+    oracle-replayable twin of q_minhash_lsh_pairs.  Same banding /
+    bucket-join / dedupe / exact-Jaccard-verify code paths, but every
+    hash is md5 (which DuckDB evaluates bit-identically), so the DuckDB
+    oracle certifies the operator's pair-mining logic end-to-end, not
+    just a rows-only count.  carry='ride_along' pinned (auto would run
+    an eager count; both carry modes produce identical pairs —
+    tests/test_dedup.py::test_minhash_carry_modes_agree)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, threshold=0.4, hash_family="md5",
+                            carry="ride_along")
+    return out.select(F.col("a").cast("long").alias("a"),
+                      F.col("b").cast("long").alias("b"), "jaccard")
+
+
+def q_simhash_pairs_md5(spark, sf_dir):
+    """SimHash hamming<=3 pairs over the md5 token-hash family — the
+    oracle-replayable twin of q_simhash_pairs.  Token bits come from the
+    first 8 md5 digest bytes (big-endian), so DuckDB can rebuild every
+    signature bit-for-bit and replay the hamming filter; the pigeonhole
+    candidate join has complete recall (pieces = d+1), so the operator's
+    output equals the oracle's exhaustive pair scan."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import simhash_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (simhash_pairs(d, max_hamming=3, hash_family="md5")
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def q_winnow_pairs_md5(spark, sf_dir):
+    """Winnowing fingerprint pairs over the md5/Catalyst family — the
+    oracle-replayable twin of q_winnow_pairs.  Same SIGMOD'03 robust
+    winnowing selection (per length-w window of consecutive k-gram
+    hashes keep the rightmost minimum) expressed purely in built-ins
+    both engines share (md5 + lpad tie-break + window min), so the
+    DuckDB oracle certifies selection AND pair mining.  min_common=14
+    calibrated on the corpus: template-level sharing tops out at 13
+    (p99.9 = 10), seeded near-dup pairs sit at 14-61."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import winnow_pairs_catalyst
+    d = _t(spark, sf_dir, "documents")
+    return (winnow_pairs_catalyst(d, min_common=14)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("n_common").cast("long").alias("n_common")))
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbours for query vectors vec_id<5."""
     _prep(spark)
@@ -503,8 +555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "winnow_pairs": q_winnow_pairs,
+        "winnow_pairs_md5": q_winnow_pairs_md5,
         "pdf_roundtrip": q_pdf_roundtrip,
         "curate_keeplist": q_curate_keeplist,
         "embedding_topk": q_embedding_topk,
@@ -696,6 +751,114 @@ ORACLES: dict[str, str] = {
           GROUP BY 1, 2)
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
         FROM pairs WHERE common / (na + nb - common) >= 0.4
+    """,
+    # bit-for-bit replay of the md5 MinHash family: h_i(g) = md5(i:g),
+    # minimum lexicographic over hex digests; band key = '|'-joined
+    # minhashes of the band's 4 seeds in seed order (= Spark's
+    # concat_ws over sig[4b..4b+3]); candidate pairs from band-bucket
+    # equality; exact-Jaccard verify on the distinct gram sets
+    "minhash_lsh_pairs_md5": f"""
+        WITH {_SHINGLE_CTE},
+        g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        mh AS (
+          SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) AS h
+          FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS seed)
+          GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, seed // 4 AS band,
+                 string_agg(h, '|' ORDER BY seed) AS bucket
+          FROM mh GROUP BY doc_id, seed // 4),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bucket = y.bucket
+          WHERE x.doc_id < y.doc_id),
+        ver AS (
+          SELECT c.a, c.b,
+                 len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
+                 (len(x.sh) + len(y.sh))::DOUBLE AS tot
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b)
+        SELECT a, b, round(inter / greatest(tot - inter, 1.0), 6) AS jaccard
+        FROM ver WHERE inter / greatest(tot - inter, 1.0) >= 0.4
+    """,
+    # rebuilds every SimHash signature bit: token hash = first 8 md5
+    # digest bytes big-endian (CAST('0x'||substr(md5,1,16)) — the exact
+    # uint64 the kernel's int.from_bytes produces), bit_j majority vote
+    # over the doc's distinct word-2-grams (strict >, ties -> 0), then
+    # an exhaustive hamming<=3 pair scan — valid as the oracle because
+    # the pigeonhole join's recall is complete (pieces = d+1)
+    "simhash_pairs_md5": """
+        WITH words AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 2
+                      THEN list_distinct([w[i] || ' ' || w[i+1]
+                                          for i in range(1, len(w))])
+                      ELSE [array_to_string(w, ' ')] END AS tk
+          FROM words),
+        t AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS tk FROM toks),
+        h AS (SELECT doc_id, n,
+                     CAST('0x' || substr(md5(tk), 1, 16) AS UBIGINT) AS u
+              FROM t),
+        bits AS (
+          SELECT doc_id, n, b, CAST((u >> b) & 1 AS BIGINT) AS bit
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        sig AS (
+          SELECT doc_id, b,
+                 CASE WHEN 2 * sum(bit) > any_value(n)
+                      THEN 1 ELSE 0 END AS sbit
+          FROM bits GROUP BY doc_id, b),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 sum(CASE WHEN x.sbit <> y.sbit THEN 1 ELSE 0 END) AS hamming
+          FROM sig x JOIN sig y ON x.b = y.b AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 3
+    """,
+    # replays robust winnowing (k=8, w=16) over md5 char-k-gram hashes:
+    # tie-break key h || lpad(10^9-1-pos) makes min(key) the RIGHTMOST
+    # window minimum; kept only at window-start rows pos <= ng-w+1
+    # (short docs: the single pos=1 start covers the whole doc); then
+    # the df-capped (<=1000) inverted-index pair count at min_common=14
+    "winnow_pairs_md5": """
+        WITH d AS (
+          SELECT doc_id AS id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+          FROM documents),
+        d2 AS (
+          SELECT id, c, greatest(length(c) - 7, 1) AS ng
+          FROM d WHERE length(c) > 0),
+        grams AS (
+          SELECT id, ng, unnest(range(1, ng + 1)) AS pos, c
+          FROM d2),
+        keyed AS (
+          SELECT id, ng, pos,
+                 md5(substr(c, pos::INT, 8))
+                   || lpad((999999999 - pos)::VARCHAR, 9, '0') AS key
+          FROM grams),
+        winmin AS (
+          SELECT id, ng, pos,
+                 min(key) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND 15 FOLLOWING) AS mk
+          FROM keyed),
+        sel AS (
+          SELECT DISTINCT id, substr(mk, 1, 32) AS h
+          FROM winmin WHERE pos <= greatest(ng - 15, 1)),
+        freq AS (SELECT h, count(*) AS c FROM sel GROUP BY h),
+        sf AS (SELECT sel.id, sel.h
+               FROM sel JOIN freq USING (h) WHERE freq.c <= 1000)
+        SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sf x JOIN sf y USING (h)
+        WHERE x.id < y.id
+        GROUP BY 1, 2 HAVING count(*) >= 14
     """,
     "pdf_roundtrip": """
         SELECT doc_id, CAST(true AS BOOLEAN) AS roundtrip_ok
