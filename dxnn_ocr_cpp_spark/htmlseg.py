@@ -113,7 +113,7 @@ HEAD_TAGS = frozenset(
     "head meta title link style script base noscript template".split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     block_id: int
     tag: str
@@ -181,6 +181,13 @@ class _Segmenter(HTMLParser):
         # closers; reconcile counters for every implicitly-closed
         # element above the match
         stack = self.stack
+        if stack[-1][2] == tag:  # well-formed close (the common case)
+            if tag in SKIP_TAGS:
+                self.skip_depth -= 1
+            elif tag == "a":
+                self.link_depth -= 1
+            del stack[-1]
+            return
         for i in range(len(stack) - 1, 0, -1):
             if stack[i][2] == tag:
                 for j in range(i, len(stack)):
@@ -194,6 +201,13 @@ class _Segmenter(HTMLParser):
 
     # -- run/block bookkeeping --
     def _flush(self) -> None:
+        if not self._parts:
+            # nothing accumulated: no block can emit, just reset the
+            # per-run feature counters (identical end state to the
+            # full path on empty text)
+            self._link_chars = 0
+            self._n_tags = 0
+            return
         text = "".join(self._parts)
         if text and not text.isspace():
             self.n_candidates += 1
@@ -341,6 +355,14 @@ _MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
 _MS_CLOSE_RE = re.compile(r"]\s*>")
 _RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
 _RAWTEXT_END = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT}
+# fast path: an attribute-less start tag '<name>' — by far the most
+# common token in crawl HTML.  When this matches, _LOCATE_RE would
+# consume exactly the name (no attr loop, no '/' among attrs) and
+# _TAGFIND_RE would return the same name, so the two-regex slow path
+# below is provably equivalent and can be skipped.
+_SIMPLE_START_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)>")
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def _fast_feed(seg: "_Segmenter", text: str) -> None:
@@ -374,45 +396,53 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
             chunk = text[i:lt]
             data(unescape(chunk) if "&" in chunk else chunk)
         c = text[lt + 1:lt + 2]
-        if c.isascii() and c.isalpha():  # starttagopen is ASCII-only
-            # parse_starttag/check_for_whole_start_tag semantics via the
-            # stdlib's own tolerant regexes, minus attribute parsing
-            m = _LOCATE_RE.match(text, lt)
-            j = m.end()
-            nxt = text[j:j + 1]
-            if nxt == ">":
-                endpos = j + 1
-            elif nxt == "/" and text.startswith("/>", j):
-                endpos = j + 2
-            elif nxt == "" or nxt == "/" or nxt == "=" or (
-                    nxt.isascii() and nxt.isalpha()):
-                # EOF mid-tag / mid-attribute -> goahead incomplete rule
-                i = incomplete(lt)
-                continue
-            else:  # bogus junk inside tag: raw data to j, resume there
-                data(text[lt:j])
-                i = j
-                continue
-            mt = _TAGFIND_RE.match(text, lt + 1)
-            name = mt.group(1).lower()
-            i = endpos
-            if "/" in text[mt.end():endpos - 1]:
-                # a '/' among the attrs: parse_starttag decides between
-                # <x/>, <x a/ b> etc. by what the attr loop leaves over
-                k = mt.end()
-                while True:
-                    ma = _ATTRFIND_RE.match(text, k)
-                    if ma is None:
-                        break
-                    k = ma.end()
-                tail = text[k:endpos].strip()
-                if tail == "/>":
-                    seg.handle_startendtag(name, [])
+        if c in _ASCII_ALPHA:  # starttagopen is ASCII-only
+            ms = _SIMPLE_START_RE.match(text, lt)
+            if ms is not None:
+                # attribute-less '<name>': equivalent to the slow path
+                # (see _SIMPLE_START_RE note), two regexes cheaper
+                name = ms.group(1).lower()
+                i = ms.end()
+            else:
+                # parse_starttag/check_for_whole_start_tag semantics via
+                # the stdlib's own tolerant regexes, minus attr parsing
+                m = _LOCATE_RE.match(text, lt)
+                j = m.end()
+                nxt = text[j:j + 1]
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/" and text.startswith("/>", j):
+                    endpos = j + 2
+                elif nxt == "" or nxt == "/" or nxt == "=" or (
+                        nxt.isascii() and nxt.isalpha()):
+                    # EOF mid-tag / mid-attr -> goahead incomplete rule
+                    i = incomplete(lt)
                     continue
-                if tail != ">":  # junk in start tag: raw data, move on
-                    data(text[lt:endpos])
+                else:  # bogus junk inside tag: raw data to j, resume
+                    data(text[lt:j])
+                    i = j
                     continue
-            # else: locate and the attr loop consume identically -> '>'
+                mt = _TAGFIND_RE.match(text, lt + 1)
+                name = mt.group(1).lower()
+                i = endpos
+                if "/" in text[mt.end():endpos - 1]:
+                    # a '/' among the attrs: parse_starttag decides
+                    # between <x/>, <x a/ b> etc. by what the attr loop
+                    # leaves over
+                    k = mt.end()
+                    while True:
+                        ma = _ATTRFIND_RE.match(text, k)
+                        if ma is None:
+                            break
+                        k = ma.end()
+                    tail = text[k:endpos].strip()
+                    if tail == "/>":
+                        seg.handle_startendtag(name, [])
+                        continue
+                    if tail != ">":  # junk in start tag: raw data
+                        data(text[lt:endpos])
+                        continue
+                # else: locate + attr loop consume identically -> '>'
             seg.handle_starttag(name, [])
             if name in _RAWTEXT:
                 # rawtext: no tags, no charrefs until a *strict*

@@ -147,7 +147,7 @@ class TestSegment:
                 "y</div></body>").encode()
         a = segment_html(html)
         b = segment_html(html)
-        assert [vars(x) for x in a.blocks] == [vars(y) for y in b.blocks]
+        assert a.blocks == b.blocks
 
 
 class TestImplicitCloseReconciliation:

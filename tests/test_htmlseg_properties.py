@@ -38,7 +38,7 @@ def test_never_raises_and_deterministic(s):
     raw = s.encode("utf-8", "surrogatepass")
     a = segment_html(raw)
     b = segment_html(raw)
-    assert [vars(x) for x in a.blocks] == [vars(y) for y in b.blocks]
+    assert a.blocks == b.blocks
     assert a.n_candidates == b.n_candidates
 
 
