@@ -43,8 +43,11 @@ SEED = 42
 # scaling measurement needs enough work to amortize fixed overheads:
 # each level pays ~5s of per-job driver/scheduling cost regardless of
 # cores (measured: 4*T16 - T4 residual), which any real long-running
-# 10^12-doc job amortizes to nothing — so the bench must too
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
+# 10^12-doc job amortizes to nothing — so the bench must too.  600k
+# keeps the hi-level run near a minute now that the segmentation
+# kernel is ~40% faster (at 300k the fixed cost was back up to ~15%
+# of T_hi, visibly depressing the measured ratio).
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "600000"))
 def _corpus_version() -> int:
     sys.path.insert(0, str(REPO))
     from dxnn_ocr_cpp_spark.corpus import CORPUS_VERSION
@@ -218,8 +221,15 @@ def run_scaling(corpus: str) -> dict:
     # engine. Wait out degraded windows, bounded at 5 probes (~6 min
     # worst case); the gate reads only host health, never the
     # engine's own numbers.
+    # a probe reading > 1.02 is itself drift evidence (pure CPU work
+    # cannot scale lo->hi above 1.0; the probe's lo phase was
+    # throttled relative to its hi phase), so it neither passes the
+    # gate nor counts toward the ceiling below
+    def healthy(p: float) -> bool:
+        return 0.85 <= p <= 1.02
+
     probes = [cpu_ceiling(lo, hi)]
-    while probes[-1] < 0.85 and len(probes) < 5:
+    while not healthy(probes[-1]) and len(probes) < 5:
         time.sleep(90)
         probes.append(cpu_ceiling(lo, hi))
 
@@ -237,7 +247,7 @@ def run_scaling(corpus: str) -> dict:
     # probes are published; the median runs over everything.
     post = cpu_ceiling(lo, hi)
     probes.append(post)
-    if post >= 0.85 and max(probes[:-1]) < 0.85:
+    if healthy(post) and not any(healthy(p) for p in probes[:-1]):
         while len(rounds) < 5:
             one_round()
     # efficiency from MATCHED pairs: each round measures lo then hi
@@ -251,8 +261,12 @@ def run_scaling(corpus: str) -> dict:
     import statistics
     eff_rounds = ratios()
     eff = statistics.median(eff_rounds)
-    ceiling = max(probes)  # best observed host window (probes bracket
-    #                        the measurement: pre-gate + post-run)
+    # best observed host window (probes bracket the measurement:
+    # pre-gate + post-run), ignoring drifted >1.02 readings — one such
+    # reading once inflated the ceiling to 1.005 and made a host-bound
+    # 0.71 run read as engine inefficiency
+    valid = [p for p in probes if p <= 1.02]
+    ceiling = max(valid) if valid else statistics.median(probes)
     # validity: a ceiling probe > 1.05 is physically impossible under
     # stable CPU (the host throttled the probe's LOW-parallelism phase
     # relative to its high one — mid-measurement drift), and a > 0.2
