@@ -368,6 +368,8 @@ _ASCII_ALPHA = frozenset(
 def _fast_feed(seg: "_Segmenter", text: str) -> None:
     unescape = _html_mod.unescape
     data = seg.handle_data
+    starttag = seg.handle_starttag
+    endtag = seg.handle_endtag
     find = text.find
     i, n = 0, len(text)
 
@@ -443,7 +445,7 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
                         data(text[lt:endpos])
                         continue
                 # else: locate + attr loop consume identically -> '>'
-            seg.handle_starttag(name, [])
+            starttag(name, [])
             if name in _RAWTEXT:
                 # rawtext: no tags, no charrefs until a *strict*
                 # '</name>' close; a '</name junk>' stays content
@@ -459,22 +461,23 @@ def _fast_feed(seg: "_Segmenter", text: str) -> None:
                         scan = mc.start() + 2
                         continue
                     data(text[i:mc.start()])
-                    seg.handle_endtag(name)
+                    endtag(name)
                     i = me.end()
                     break
         elif c == "/":
+            m = _ENDTAG_RE.match(text, lt)
+            if m is not None:  # well-formed '</name>' (the common case;
+                # the regex requires '>', so no-'>' inputs fall through)
+                endtag(m.group(1).lower())
+                i = m.end()
+                continue
             gt = find(">", lt + 1)
             if gt < 0:  # parse_endtag incomplete -> goahead rule
                 i = incomplete(lt)
                 continue
-            m = _ENDTAG_RE.match(text, lt)
-            if m is not None:
-                seg.handle_endtag(m.group(1).lower())
-                i = m.end()
-                continue
             nm = _TAGFIND_RE.match(text, lt + 2)
             if nm is not None:  # '</name junk>' closes name
-                seg.handle_endtag(nm.group(1).lower())
+                endtag(nm.group(1).lower())
                 gt2 = find(">", nm.end())
                 i = gt2 + 1 if gt2 >= 0 else n
             elif text.startswith("</>", lt):

@@ -39,7 +39,10 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
         # counts included zero-width/bidi chars that normalization
         # strips, letting soup-padded blocks past min_text_chars and
         # skewing density features against the actual output
-        n_text = sum(map(len, t.split()))
+        # normalize_text collapses every whitespace run to one ASCII
+        # space, so non-ws chars = len - spaces (== sum of split lens,
+        # without the list allocation)
+        n_text = len(t) - t.count(" ")
         blocks.append({
             "block_id": b.block_id,
             "tag": b.tag,
