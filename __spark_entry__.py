@@ -524,6 +524,47 @@ def q_media_pipeline(spark, sf_dir):
                      .alias("n_frames")))
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: events.props is a JSON object
+    (the WARC-record-metadata analog — crawl pipelines carry per-page
+    JSON sidecars). Pull $.k with get_json_object (JVM-side JsonPath,
+    no Python), decile-bucket per event_type."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.withColumn("k", k)
+            .groupBy("event_type",
+                     F.floor(F.col("k") / 10).cast("long").alias("k_decile"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("long").alias("sum_k"))
+            .orderBy("event_type", "k_decile"))
+
+
+def q_url_host_salt_plan(spark, sf_dir):
+    """Hot-host skew census -> salt plan (X4/X5 analog; north rule:
+    'salts hot hosts to defuse skew'). A deterministic URL corpus with
+    linearly skewed host mass (host index = floor(sqrt(doc_id % 1024)):
+    host h31 owns 63x the docs of h0) is parsed back through the
+    engine's host_of() and each host gets the salt-bucket count the
+    partitioner would assign (ceil(n_docs / cap)), so the DuckDB oracle
+    certifies host parsing AND the salt arithmetic."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.partitioning import host_of
+    d = _t(spark, sf_dir, "documents")
+    hidx = F.floor(F.sqrt(F.col("doc_id") % 1024)).cast("long")
+    urls = d.select(
+        F.concat(F.lit("https://h"), hidx.cast("string"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    cap = 40  # docs per partition-salt bucket at this scale
+    return (urls.select(host_of(F.col("url")).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("n_salt",
+                        F.ceil(F.col("n_docs") / cap).cast("long"))
+            .orderBy("host"))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -570,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
         "media_pipeline": q_media_pipeline,
+        "events_json_props": q_events_json_props,
+        "url_host_salt_plan": q_url_host_salt_plan,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -986,6 +1029,30 @@ ORACLES: dict[str, str] = {
                     THEN greatest(CAST(trunc(duration_ms / 1000.0) AS BIGINT), 1)
                     ELSE 0 END AS n_frames
         FROM r
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          / 10) AS BIGINT) AS k_decile,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # Mirrors q_url_host_salt_plan: same floor(sqrt(doc_id % 1024)) host
+    # index, same host_of() regex '^[a-z]+://([^/]+)/', same
+    # ceil(n/40) salt-bucket count.
+    "url_host_salt_plan": """
+        WITH u AS (
+          SELECT 'https://h' || CAST(floor(sqrt(doc_id % 1024)) AS BIGINT)
+                 || '.example.com/doc/' || doc_id AS url
+          FROM documents),
+        h AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+          FROM u)
+        SELECT host, count(*) AS n_docs,
+               CAST(ceil(count(*) / 40.0) AS BIGINT) AS n_salt
+        FROM h GROUP BY host ORDER BY host
     """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
