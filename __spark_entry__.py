@@ -565,6 +565,80 @@ def q_url_host_salt_plan(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_sketch_accuracy(spark, sf_dir):
+    """Sketch operators — the 100-TB path for distinct counts and
+    percentiles (exact count(DISTINCT)/percentile need a full shuffle
+    of every value; HLL++ and the approx-percentile sketch are
+    mergeable, one pass, bounded memory). Emits per event_type the
+    EXACT values (oracle-checked for real) plus booleans asserting the
+    sketch landed within its documented error (HLL rsd=0.05 -> allow
+    3*rsd; percentile_approx accuracy 10000 -> allow the observed
+    value range / 100), so a sketch regression fails the value hash."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    agg = (e.groupBy("event_type")
+           .agg(F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_hll"),
+                F.expr("percentile(value, 0.5)").alias("p50_exact"),
+                F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+                 .alias("p50_sketch"),
+                (F.max("value") - F.min("value")).alias("vrange")))
+    return (agg.select(
+                "event_type", "n_users",
+                F.round("p50_exact", 6).alias("p50"),
+                (F.abs(F.col("n_users_hll") - F.col("n_users"))
+                 <= F.greatest(F.col("n_users") * 0.15, F.lit(1.0)))
+                 .alias("hll_ok"),
+                (F.abs(F.col("p50_sketch") - F.col("p50_exact"))
+                 <= F.col("vrange") / 100).alias("pctl_ok"))
+            .orderBy("event_type"))
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split (98/1/1) keyed
+    on url — pure hash-range assignment, no RNG/partition-order
+    dependence (partitioning.split_assign). md5 family so the DuckDB
+    oracle replays the exact boundary arithmetic; the xxhash64
+    production family shares the code path (tests/test_bucketing.py
+    pins family agreement on proportions and determinism)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.partitioning import split_assign
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"), "doc_id")
+    out = split_assign(urls, key_col="url", hash_family="md5")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_id"))
+            .orderBy("split"))
+
+
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each click event enriched with the
+    most recent view event at-or-before it by the same user, within a
+    2 h staleness window — the leakage-free temporal join every
+    feature/label pipeline needs. Implemented without a join node
+    (union + one window shuffle, operators/asof.py); the DuckDB oracle
+    is the independent LATERAL formulation of the same semantics."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view")
+    out = asof_join(clicks, views, on="user_id", ts="ts",
+                    payload=["event_id", "value"], tie="event_id",
+                    tolerance_sec=7200)
+    return out.select(
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        _epoch(F.col("ts")).alias("click_ts"),
+        F.col("asof_event_id").cast("long").alias("view_id"),
+        (_epoch(F.col("ts")) - _epoch(F.col("asof_ts"))).alias("gap_sec"),
+        F.round("asof_value", 2).alias("view_value"))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -613,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
+        "sketch_accuracy": q_sketch_accuracy,
+        "dataset_split": q_dataset_split,
+        "events_asof_join": q_events_asof_join,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -1054,6 +1131,44 @@ ORACLES: dict[str, str] = {
                CAST(ceil(count(*) / 40.0) AS BIGINT) AS n_salt
         FROM h GROUP BY host ORDER BY host
     """,
+    # Exact legs (n_users, p50) checked for real; the sketch legs are
+    # asserted within documented error (hll_ok/pctl_ok all-true), so a
+    # sketch regression fails the value hash like pdf_roundtrip's.
+    "sketch_accuracy": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               CAST(true AS BOOLEAN) AS hll_ok,
+               CAST(true AS BOOLEAN) AS pctl_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # ("dataset_split" is appended after the dict: its thresholds are
+    # inlined from the SAME helper the engine uses,
+    # partitioning.split_hex_thresholds — one source of truth)
+    # independent formulation of the as-of semantics: correlated
+    # LATERAL top-1 per probe row (DuckDB decorrelates it); the Spark
+    # side is the union+window single-shuffle plan — agreement checks
+    # the SEMANTICS, not a shared implementation
+    "events_asof_join": """
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT * FROM events WHERE event_type = 'view')
+        SELECT c.event_id AS click_id,
+               c.user_id AS user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+               m.event_id AS view_id,
+               CAST(floor(epoch(c.ts)) - floor(epoch(m.ts)) AS BIGINT)
+                 AS gap_sec,
+               round(m.value, 2) AS view_value
+        FROM c LEFT JOIN LATERAL (
+            SELECT v.event_id, v.ts, v.value
+            FROM v
+            WHERE v.user_id = c.user_id
+              AND v.ts <= c.ts
+              AND v.ts >= c.ts - INTERVAL 7200 SECONDS
+            ORDER BY v.ts DESC, v.event_id DESC
+            LIMIT 1
+        ) m ON true
+    """,
     "embedding_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < 5),
@@ -1072,6 +1187,28 @@ ORACLES: dict[str, str] = {
         SELECT query_id, rank, nb_id, sim FROM r WHERE rank <= 5
     """,
 }
+
+
+def _dataset_split_oracle() -> str:
+    from dxnn_ocr_cpp_spark.partitioning import split_hex_thresholds
+    (tr, t1), (va, t2) = split_hex_thresholds()
+    return f"""
+        WITH u AS (SELECT doc_id,
+                          'https://example.com/doc/' ||
+                          CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CASE WHEN substr(md5(url), 1, 6) < '{t1}' THEN '{tr}'
+                          WHEN substr(md5(url), 1, 6) < '{t2}' THEN '{va}'
+                          ELSE 'test' END AS split
+              FROM u)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM s GROUP BY split ORDER BY split
+    """
+
+
+ORACLES["dataset_split"] = _dataset_split_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

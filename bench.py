@@ -77,6 +77,9 @@ HEADLINE = [
     "pdf_roundtrip",
     "curate_keeplist",
     "media_pipeline",
+    "events_asof_join",
+    "dataset_split",
+    "sketch_accuracy",
 ]
 
 # N -> 4N window chosen below full box saturation: at local[32] the

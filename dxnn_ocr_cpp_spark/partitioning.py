@@ -47,3 +47,57 @@ def salted_repartition(df, n_partitions: int, url_col: str = "url",
 def bucket_id(url_col, n_buckets: int = 32):
     """Stable bucket id for layout/lineage: pmod(xxhash64(url), n)."""
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+# ---------------- deterministic dataset splits ----------------
+
+DEFAULT_SPLITS = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+SPLIT_HEX_WIDTH = 6  # md5-family fraction resolution: 16^-6 ~ 6e-8
+
+
+def split_hex_thresholds(splits=DEFAULT_SPLITS) -> list:
+    """Cumulative md5-prefix thresholds for all but the last split —
+    the ONE place the boundary arithmetic lives (the DuckDB oracle
+    inlines these same constants)."""
+    total = 16 ** SPLIT_HEX_WIDTH
+    acc, out = 0.0, []
+    for name, frac in splits[:-1]:
+        acc += frac
+        out.append((name, format(int(round(acc * total)),
+                                 f"0{SPLIT_HEX_WIDTH}x")))
+    return out
+
+
+def split_assign(df, key_col: str = "url", splits=DEFAULT_SPLITS,
+                 hash_family: str = "xxhash64", out_col: str = "split"):
+    """Deterministic, leakage-safe train/val/test assignment: a pure
+    function of the split KEY, so (a) the same page lands in the same
+    split on every run/cluster/snapshot, (b) keying on url/host keeps
+    near-duplicate pages of one site from straddling train and test,
+    and (c) adding or removing other rows never reshuffles existing
+    assignments (unlike randomSplit, which is partition-order
+    dependent). One narrow projection — no shuffle, no RNG state.
+
+    hash_family "xxhash64": pmod over 10^6 buckets (JVM-only, the
+    production path). "md5": first-6-hex-chars range compare —
+    bit-replayable by any engine with md5 (the DuckDB oracle twin,
+    same pattern as the dedup md5 families)."""
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    if hash_family == "md5":
+        h = F.substring(F.md5(F.col(key_col)), 1, SPLIT_HEX_WIDTH)
+        expr = F.lit(splits[-1][0])
+        for name, thr in reversed(split_hex_thresholds(splits)):
+            expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    else:
+        total = 1_000_000
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(total))
+        acc, expr = 0.0, F.lit(splits[-1][0])
+        cuts = []
+        for name, frac in splits[:-1]:
+            acc += frac
+            cuts.append((name, int(round(acc * total))))
+        for name, cut in reversed(cuts):
+            expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

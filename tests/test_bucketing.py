@@ -6,6 +6,8 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 DEMO = pathlib.Path(__file__).parent.parent / "tools" / "bucketed_join_demo.py"
 
 
@@ -44,3 +46,44 @@ def test_salting_defuses_hot_host_skew(spark):
     assert naive > 0.15, f"corpus no longer skewed? naive={naive}"
     assert salted < 2.0 / n_part, f"salting failed: {salted}"
     assert salted < naive / 2
+
+
+class TestSplitAssign:
+    """Deterministic leakage-safe splits (partitioning.split_assign)."""
+
+    def _docs(self, spark, n=4000):
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.concat(F.lit("https://example.com/doc/"),
+                     F.col("id").cast("string")).alias("url"), "id")
+
+    @pytest.mark.parametrize("family", ["xxhash64", "md5"])
+    def test_proportions_and_exhaustiveness(self, spark, family):
+        from dxnn_ocr_cpp_spark.partitioning import split_assign
+        out = split_assign(self._docs(spark), hash_family=family)
+        counts = {r["split"]: r["count"]
+                  for r in out.groupBy("split").count().collect()}
+        n = sum(counts.values())
+        assert set(counts) == {"train", "val", "test"}
+        assert n == 4000
+        assert counts["train"] / n == pytest.approx(0.98, abs=0.01)
+        assert counts["val"] / n == pytest.approx(0.01, abs=0.007)
+
+    def test_assignment_is_pure_function_of_key(self, spark):
+        """Adding rows must never move an existing key's split (the
+        randomSplit failure mode: partition-order dependence)."""
+        from dxnn_ocr_cpp_spark.partitioning import split_assign
+
+        def assign(n, parts):
+            df = self._docs(spark, n).repartition(parts)
+            return {r["url"]: r["split"]
+                    for r in split_assign(df).collect()}
+
+        small, big = assign(500, 1), assign(4000, 8)
+        assert all(big[u] == s for u, s in small.items())
+
+    def test_bad_fractions_rejected(self, spark):
+        from dxnn_ocr_cpp_spark.partitioning import split_assign
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_assign(self._docs(spark, 10),
+                         splits=(("a", 0.5), ("b", 0.4)))
