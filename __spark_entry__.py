@@ -639,6 +639,104 @@ def q_events_asof_join(spark, sf_dir):
         F.round("asof_value", 2).alias("view_value"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction policy gate (operators/curation.py): emails, IPv4,
+    phone numbers -> typed placeholders, pure chained regexp_replace
+    (zero shuffle). PII is injected deterministically from doc_id so
+    the DuckDB oracle mirrors the corpus exactly; patterns are the
+    Java/RE2-common subset and the oracle runs the IDENTICAL pattern
+    strings (imported from PII_PATTERNS — one source of truth)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import (pii_counts,
+                                                       redact_pii)
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    did = F.col("doc_id").cast("string")
+    email = F.concat(F.lit(" contact bob"), did, F.lit("@example.com now"))
+    phone = F.concat(F.lit(" call 555-123-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0"), F.lit(" today"))
+    ip = F.concat(F.lit(" from 10."), (F.col("doc_id") % 250).cast("string"),
+                  F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+                  F.lit(" net"))
+    injected = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(m == 0, email)
+                  .when(m == 1, phone)
+                  .when(m == 2, ip)
+                  .when(m == 3, F.concat(email, phone, ip))
+                  .otherwise(F.lit(""))).alias("text2"))
+    counts = pii_counts(F.col("text2"))
+    return injected.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(redact_pii(F.col("text2"))).alias("redacted_fp"))
+
+
+def q_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition/boilerplate metrics + keep-gate
+    (operators/curation.py): duplicate-word fraction, duplicate-bigram
+    fraction, mean word length — pure per-row array expressions, zero
+    shuffle. Thresholds imported from the module constants; the DuckDB
+    oracle recomputes every metric with list functions."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import (repetition_features,
+                                                       repetition_ok)
+    d = _t(spark, sf_dir, "documents")
+    f = repetition_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_words"].cast("long").alias("n_words"),
+        F.round(f["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(f["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        repetition_ok(f).alias("keep"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py): training docs
+    sharing >=3 distinct word 3-grams with the eval slice
+    (doc_id % 41 == 0) are flagged. Eval gram set broadcast (KBs of
+    benchmarks vs TBs of train at scale); one explode + broadcast semi
+    join; only matched gram rows reach the per-doc count shuffle.
+    'grams' family here so DuckDB replays the same string universe; the
+    blake2b int64 family is the production twin (agreement pinned in
+    tests/test_curation.py)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import decontaminate
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 41 == 0)
+    tr = d.filter(F.col("doc_id") % 41 != 0)
+    return (decontaminate(tr, ev, min_common=3, gram_family="grams")
+            .orderBy("doc_id"))
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonical composition (operators/curation.py, one
+    vectorized Arrow hop — Spark has no built-in normalizer). Decomposed
+    sequences (e+U+0301, u+U+0308) injected for doc_id % 7 == 0; DuckDB's
+    independent nfc_normalize implementation is the oracle. Output pins
+    the composition actually happened: char length shrinks and the md5
+    of the normalized text matches across engines."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import normalize_nfc
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.lit(" cafe\u0301 u\u0308mlaut"))
+                  .otherwise(F.lit(""))).alias("text2"))
+    out = injected.withColumn("norm", normalize_nfc(F.col("text2")))
+    return out.select(
+        "doc_id",
+        F.length("text2").cast("long").alias("len_raw"),
+        F.length("norm").cast("long").alias("len_nfc"),
+        (F.col("text2") != F.col("norm")).alias("changed"),
+        F.md5("norm").alias("nfc_fp"))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The extraction pipeline itself as a queries() entry (pure-UDF
     stage -> rows-only check; byte-level correctness is pinned by the
@@ -690,6 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "dataset_split": q_dataset_split,
         "events_asof_join": q_events_asof_join,
+        "pii_redact": q_pii_redact,
+        "repetition_filters": q_repetition_filters,
+        "decontaminate": q_decontaminate,
+        "nfc_normalize": q_nfc_normalize,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -1209,6 +1311,123 @@ def _dataset_split_oracle() -> str:
 
 
 ORACLES["dataset_split"] = _dataset_split_oracle()
+
+
+def _pii_oracle() -> str:
+    """Chained-replace + per-kind counts built FROM curation.PII_PATTERNS
+    — the oracle runs the IDENTICAL pattern strings (Java/RE2-common
+    subset), so a pattern edit can never desynchronize the two sides."""
+    from dxnn_ocr_cpp_spark.operators.curation import PII_PATTERNS
+    red = "text2"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+        counts.append(f"CAST(len(regexp_extract_all(text2, '{pat}')) "
+                      f"AS BIGINT) AS n_{name}")
+    counts_sql = ",\n               ".join(counts)
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 10
+                   WHEN 0 THEN ' contact bob' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                   WHEN 1 THEN ' call 555-123-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' today'
+                   WHEN 2 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                               || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                               || ' net'
+                   WHEN 3 THEN ' contact bob' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                               || ' call 555-123-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' today'
+                               || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                               || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+                               || ' net'
+                   ELSE '' END AS text2
+          FROM documents)
+        SELECT doc_id,
+               {counts_sql},
+               md5({red}) AS redacted_fp
+        FROM inj
+    """
+
+
+ORACLES["pii_redact"] = _pii_oracle()
+
+
+def _repetition_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.curation import (
+        DUP_2GRAM_FRAC_MAX, DUP_WORD_FRAC_MAX, MEAN_WORD_LEN_RANGE)
+    lo, hi = MEAN_WORD_LEN_RANGE
+    return f"""
+        WITH w0 AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents),
+        f AS (
+          SELECT doc_id, w,
+                 CASE WHEN trim(text) = '' THEN 0 ELSE len(w) END AS n
+          FROM w0),
+        g AS (
+          SELECT doc_id, n,
+                 CASE WHEN n > 0
+                      THEN 1.0 - len(list_distinct(w))::DOUBLE / n
+                      ELSE 0.0 END AS dwf,
+                 CASE WHEN n >= 2
+                      THEN 1.0 - len(list_distinct(list_transform(
+                             range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1])))::DOUBLE / (n - 1)
+                      ELSE 0.0 END AS d2f,
+                 CASE WHEN n > 0
+                      THEN list_aggregate(list_transform(w, x -> len(x)),
+                                          'sum')::DOUBLE / n
+                      ELSE 0.0 END AS mwl
+          FROM f)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+               round(dwf, 6) AS dup_word_frac,
+               round(d2f, 6) AS dup_2gram_frac,
+               round(mwl, 6) AS mean_word_len,
+               (dwf <= {DUP_WORD_FRAC_MAX} AND d2f <= {DUP_2GRAM_FRAC_MAX}
+                AND mwl >= {lo} AND mwl <= {hi}) AS keep
+        FROM g
+    """
+
+
+ORACLES["repetition_filters"] = _repetition_oracle()
+
+# same gram universe as the dedup families (_SHINGLE_CTE); eval slice =
+# doc_id % 41 = 0; sh is already per-doc-distinct, so count(*) counts
+# distinct shared grams
+ORACLES["decontaminate"] = f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 41 <> 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (g)
+    GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id
+"""
+
+# chr(769)=U+0301 combining acute, chr(776)=U+0308 combining diaeresis —
+# the same decomposed injection the Spark side makes; nfc_normalize is
+# DuckDB's independent Unicode implementation
+ORACLES["nfc_normalize"] = """
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' cafe' || chr(769) || ' u' || chr(776)
+                               || 'mlaut'
+                          ELSE '' END AS text2
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text2) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(text2)) AS BIGINT) AS len_nfc,
+           (text2 <> nfc_normalize(text2)) AS changed,
+           md5(nfc_normalize(text2)) AS nfc_fp
+    FROM inj
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -80,6 +80,10 @@ HEADLINE = [
     "events_asof_join",
     "dataset_split",
     "sketch_accuracy",
+    "pii_redact",
+    "repetition_filters",
+    "decontaminate",
+    "nfc_normalize",
 ]
 
 # N -> 4N window chosen below full box saturation: at local[32] the

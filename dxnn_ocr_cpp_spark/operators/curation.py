@@ -1,0 +1,182 @@
+"""Corpus-policy curation operators — PII redaction, repetition
+filters, benchmark decontamination, Unicode NFC normalization.
+
+These are the policy gates a webtext training pipeline applies after
+extraction and before tokenization. Everything except NFC (which needs
+the Unicode tables, one vectorized Arrow hop) is pure Catalyst — narrow
+projections and one broadcast semi-join, no shape that degrades at
+100 TB:
+
+  redact_pii / pii_counts      per-row regexp, zero shuffle
+  repetition_features          per-row array expressions, zero shuffle
+  decontaminate                eval-set grams broadcast (eval sets are
+                               KBs-to-MBs against TBs of train); one
+                               partial-aggregated groupBy over only the
+                               MATCHED gram rows
+  normalize_nfc                one pandas UDF (same sanctioned Arrow
+                               hop as the segmenter)
+
+Analog anchoring: these generalize the reference's per-request input
+policy gates (request validation and text post-filters,
+/root/reference/server/ocr_handler.cpp:38-124) from one request to a
+corpus-wide declarative pass.
+
+Regex note: every pattern below is written in the Java-regex /
+RE2-common subset (character classes, bounded repetition, \\b, \\d,
+alternation; no backrefs or lookaround), so the DuckDB oracles run the
+IDENTICAL pattern strings — the oracle checks semantics, not a
+re-implementation.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dxnn_ocr_cpp_spark.operators.dedup import (word_grams,
+                                                word_shingle_hashes)
+
+# ---------- PII redaction ----------
+
+# Ordered: IP before phone so a dotted quad is never half-eaten by the
+# phone pattern. Both engines apply the same order, but the plan is to
+# not depend on tie-breaks at all.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and NANP-style phone numbers
+    with typed placeholder tokens. Chained regexp_replace — one narrow
+    projection, whole-stage codegen, no Python."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (for audit dashboards / reject gates).
+    Counted on the RAW text, in the same order-independent way the
+    redaction is applied."""
+    return {name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+                   .cast("int")
+            for name, pat, _ in PII_PATTERNS}
+
+
+# ---------- repetition / boilerplate filters (Gopher-style) ----------
+
+# Rahman et al. thresholds adapted to word granularity (the synthetic
+# corpus has no line structure): a doc is repetition-suspect when too
+# much of it is the same word or the same word bigram.
+DUP_WORD_FRAC_MAX = 0.60
+DUP_2GRAM_FRAC_MAX = 0.40
+MEAN_WORD_LEN_RANGE = (1.5, 12.0)
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Per-doc repetition metrics as pure array expressions — zero
+    shuffle, O(words) per row:
+
+      n_words          whitespace tokens ('' -> 0)
+      dup_word_frac    1 - distinct(words)/words
+      dup_2gram_frac   1 - distinct(bigrams)/bigrams (0 when <2 words)
+      mean_word_len    sum(len(w))/n_words
+
+    Tokenization is the dedup-family canonical one (lower, trim,
+    ws-collapse) so gram universes agree across operators."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    n = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(w))
+    grams2 = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(F.element_at(w, i), F.lit(" "),
+                           F.element_at(w, i + 1)))
+    n2 = F.when(n >= 2, F.size(w) - 1).otherwise(F.lit(0))
+    total_len = F.aggregate(w, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    return {
+        "n_words": n.cast("int"),
+        "dup_word_frac": F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(w)) / n.cast("double"))
+            .otherwise(F.lit(0.0)),
+        "dup_2gram_frac": F.when(
+            n2 > 0,
+            1.0 - F.size(F.array_distinct(grams2)) / n2.cast("double"))
+            .otherwise(F.lit(0.0)),
+        "mean_word_len": F.when(
+            n > 0, total_len / n.cast("double")).otherwise(F.lit(0.0)),
+    }
+
+
+def repetition_ok(feats: dict[str, Column]) -> Column:
+    """The keep-gate: inside every threshold. Empty docs fail on
+    mean_word_len (0 < 1.5) — they are rejected upstream anyway."""
+    lo, hi = MEAN_WORD_LEN_RANGE
+    return ((feats["dup_word_frac"] <= DUP_WORD_FRAC_MAX)
+            & (feats["dup_2gram_frac"] <= DUP_2GRAM_FRAC_MAX)
+            & (feats["mean_word_len"] >= lo)
+            & (feats["mean_word_len"] <= hi))
+
+
+# ---------- benchmark decontamination ----------
+
+def decontaminate(train: DataFrame, evalset: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, min_common: int = 2,
+                  gram_family: str = "blake2b") -> DataFrame:
+    """Flag training docs that share >= min_common distinct word
+    n-grams with ANY doc of a benchmark/eval set (the decontamination
+    pass every LLM data pipeline runs before training).
+
+    Scale shape: the eval side is always tiny relative to train (KBs of
+    benchmarks vs TBs of web text), so its distinct gram set is
+    broadcast — the train side is ONE explode + broadcast-hash semi
+    join; only MATCHED gram rows reach the per-doc count aggregation
+    (partial map-side combine), so the single shuffle carries the
+    overlap, not the corpus. No sort-merge join, no cartesian (plan
+    pinned in tests/test_curation.py).
+
+    gram_family "blake2b" is the production path (8-byte shingle
+    hashes on the wire); "grams" joins on the gram STRINGS themselves
+    (same token universe), which is what lets the DuckDB oracle replay
+    the operator bit-for-bit.
+
+    Returns (id_col, n_shared) for contaminated docs only.
+    """
+    if gram_family == "grams":
+        gram = lambda c: word_grams(c, n)            # noqa: E731
+    else:
+        gram = lambda c: word_shingle_hashes(c, n)   # noqa: E731
+    ev = (evalset.select(F.explode(gram(F.col(text_col))).alias("g"))
+          .distinct())
+    tr = train.select(F.col(id_col),
+                      F.explode(gram(F.col(text_col))).alias("g"))
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_common))
+
+
+# ---------- Unicode NFC normalization ----------
+
+@F.pandas_udf(T.StringType())
+def _nfc_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if s is None else unicodedata.normalize("NFC", s)
+         for s in texts])
+
+
+def normalize_nfc(text: Column) -> Column:
+    """Unicode NFC canonical composition (e + U+0301 -> é). Spark has
+    no built-in normalizer, so this is one vectorized Arrow hop — the
+    same sanctioned UDF shape as the segmenter; DuckDB's nfc_normalize
+    provides an independent oracle. Idempotent; None-safe."""
+    return _nfc_udf(text)
