@@ -639,6 +639,24 @@ def q_events_asof_join(spark, sf_dir):
         F.round("asof_value", 2).alias("view_value"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS from the exact Jaccard pair graph:
+    alternating large-star/small-star connected components
+    (operators/cc.py, O(log^2 n) rounds independent of component
+    diameter — the 100-TB property naive min-label propagation lacks).
+    Summary per component (survivor = min doc id, size, max member);
+    the DuckDB oracle closes the same pair graph with a recursive CTE."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cc import dedup_clusters
+    from dxnn_ocr_cpp_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.4)
+    return (dedup_clusters(pairs)
+            .select(F.col("component").cast("long").alias("component"),
+                    "n_docs", "max_doc")
+            .orderBy("component"))
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction policy gate (operators/curation.py): emails, IPv4,
     phone numbers -> typed placeholders, pure chained regexp_replace
@@ -788,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "dataset_split": q_dataset_split,
         "events_asof_join": q_events_asof_join,
+        "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "repetition_filters": q_repetition_filters,
         "decontaminate": q_decontaminate,
@@ -862,6 +881,22 @@ sh AS (
                       for i in range(1, len(w) - 1)]))
               ELSE [array_to_string(w, ' ')] END AS sh
   FROM words)
+"""
+
+# df-capped inverted-index Jaccard pair chain (shared by the pair query
+# and the connected-components cluster oracle)
+_JACCARD_CTE = f"""{_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+freq AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+exf AS (SELECT ex.doc_id, ex.n, ex.g
+        FROM ex JOIN freq USING (g) WHERE freq.c <= 1000),
+jpairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         count(*)::DOUBLE AS common,
+         any_value(x.n) AS na, any_value(y.n) AS nb
+  FROM exf x JOIN exf y USING (g)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2)
 """
 
 ORACLES: dict[str, str] = {
@@ -959,20 +994,31 @@ ORACLES: dict[str, str] = {
     # pair counting, while set sizes na/nb stay pre-cap — the same
     # skew-guard semantics the Spark operator implements)
     "ngram_jaccard_pairs": f"""
-        WITH {_SHINGLE_CTE},
-        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
-        freq AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
-        exf AS (SELECT ex.doc_id, ex.n, ex.g
-                FROM ex JOIN freq USING (g) WHERE freq.c <= 1000),
-        pairs AS (
-          SELECT x.doc_id AS a, y.doc_id AS b,
-                 count(*)::DOUBLE AS common,
-                 any_value(x.n) AS na, any_value(y.n) AS nb
-          FROM exf x JOIN exf y USING (g)
-          WHERE x.doc_id < y.doc_id
-          GROUP BY 1, 2)
+        WITH {_JACCARD_CTE}
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
-        FROM pairs WHERE common / (na + nb - common) >= 0.4
+        FROM jpairs WHERE common / (na + nb - common) >= 0.4
+    """,
+    # independent component closure: the recursive CTE enumerates every
+    # (node, reachable node) pair and takes the min — O(comp_size^2)
+    # rows, fine at oracle scale; the Spark side is the O(log^2 n)
+    # alternating-star algorithm (operators/cc.py) — agreement checks
+    # semantics, not a shared implementation
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_JACCARD_CTE},
+        jp AS (SELECT a, b FROM jpairs
+               WHERE common / (na + nb - common) >= 0.4),
+        e AS (SELECT a AS u, b AS v FROM jp
+              UNION SELECT b, a FROM jp),
+        reach(v, r) AS (
+          SELECT u, u FROM e
+          UNION
+          SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v),
+        comp AS (SELECT v AS node, min(r) AS component
+                 FROM reach GROUP BY v)
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(node) AS BIGINT) AS max_doc
+        FROM comp GROUP BY component ORDER BY component
     """,
     # bit-for-bit replay of the md5 MinHash family: h_i(g) = md5(i:g),
     # minimum lexicographic over hex digests; band key = '|'-joined

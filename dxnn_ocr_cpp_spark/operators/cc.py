@@ -1,0 +1,126 @@
+"""Connected components over near-duplicate pair graphs — the step
+that turns pair emitters (minhash_lsh_pairs / ngram_jaccard_pairs /
+simhash_pairs) into actionable dedup CLUSTERS (one survivor per
+component), the corpus-wide generalization of the reference's
+per-task result grouping (/root/reference/src/pipeline/
+ocr_pipeline.cpp:457-461 groups per-region results under one task id).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), pure
+DataFrame ops:
+
+  large-star  every node links its strictly-GREATER neighbors to the
+              minimum of its neighborhood (incl. itself)
+  small-star  every node links its not-greater neighbors to that
+              minimum
+
+Each round is one groupBy(node) shuffle; the pair converges in
+O(log^2 n) rounds INDEPENDENT OF GRAPH DIAMETER — the property that
+makes it the 100-TB choice over naive min-label propagation, whose
+round count is the component diameter (a 10^6-doc duplicate chain =
+10^6 rounds). Each round calls localCheckpoint() to truncate lineage —
+without it, iteration k's plan embeds all k-1 predecessors and the
+optimizer re-plans a geometrically growing tree (the classic iterative
+Spark failure mode).
+
+Convergence test: the edge multiset is already canonical (parent,
+child) pairs after small-star; we stop when the sorted edge set's
+(count, bit_xor of xxhash64) signature is unchanged — two cheap
+aggregates, no collect of the edges themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_U, _V, _M = "__cc_u", "__cc_v", "__cc_m"
+
+
+def _both_directions(edges: DataFrame) -> DataFrame:
+    """Undirect (u,v) via explode-of-structs rather than a Union of
+    swapped-alias selects: Catalyst's Union constraint rewriting
+    (UnionBase.rewriteConstraints) throws `key not found` on the
+    swapped-attribute pattern when constraint propagation is on — the
+    generator form produces fresh attributes and sidesteps it."""
+    e = F.explode(F.array(
+        F.struct(F.col(_U).alias("u"), F.col(_V).alias("v")),
+        F.struct(F.col(_V).alias("u"), F.col(_U).alias("v"))))
+    return (edges.select(e.alias("e"))
+            .select(F.col("e.u").alias(_U), F.col("e.v").alias(_V)))
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One large/small-star round over canonical (u,v) edges.
+
+    Neighborhoods are built over BOTH directions; min is over the
+    neighborhood including the center. large: emit (min, w) for
+    strictly-greater neighbors w; small: emit (min, w) for not-greater
+    neighbors w != min — the center itself is folded into the
+    neighbor array (array_union with self), so (min, center) emits
+    from the same explode and no Union is needed.
+    """
+    nb = (_both_directions(edges).groupBy(_U)
+          .agg(F.least(F.min(_V), F.col(_U)).alias(_M),
+               F.collect_set(_V).alias("__nbrs")))
+    if large:
+        w = F.explode("__nbrs")
+        out = (nb.select(F.col(_M), w.alias(_V), F.col(_U))
+               .filter(F.col(_V) > F.col(_U))
+               .select(F.col(_M).alias(_U), _V))
+    else:
+        w = F.explode(F.array_union(F.col("__nbrs"),
+                                    F.array(F.col(_U))))
+        out = (nb.select(F.col(_M), w.alias(_V), F.col(_U))
+               .filter((F.col(_V) <= F.col(_U)) & (F.col(_V) != F.col(_M)))
+               .select(F.col(_M).alias(_U), _V))
+    return out.filter(F.col(_U) != F.col(_V)).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(_U, _V)).alias("sig")).collect()[0]
+    return row["n"], row["sig"]
+
+
+def connected_components(pairs: DataFrame, src: str, dst: str,
+                         max_iter: int = 30) -> DataFrame:
+    """(node, component) for every node in the pair graph; component =
+    the minimum node id of the connected component (deterministic,
+    partitioning-independent). Raises if max_iter rounds don't
+    converge — at O(log^2 n) convergence, hitting 30 means the input
+    is not a pair graph but a bug.
+    """
+    edges = (pairs.select(F.col(src).alias(_U), F.col(dst).alias(_V))
+             .filter(F.col(_U) != F.col(_V)).distinct()
+             .localCheckpoint(eager=True))
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False) \
+            .localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"no convergence in {max_iter} rounds")
+    # converged state is a forest of stars rooted at component minima;
+    # exploding [child, root] per star edge emits the root rows from
+    # the same generator (distinct dedups them) — again no Union
+    return (edges.select(
+                F.col(_U).alias("component"),
+                F.explode(F.array(F.col(_V), F.col(_U))).alias("node"))
+            .distinct())
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
+                   max_iter: int = 30) -> DataFrame:
+    """Cluster summary per near-duplicate component: (component = min
+    doc id = the canonical survivor, n_docs, max_doc). Docs absent from
+    the pair graph are their own singleton clusters and are NOT
+    emitted — the keep-list is `all docs EXCEPT (node != component)`.
+    """
+    cc = connected_components(pairs, src, dst, max_iter)
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.max("node").cast("long").alias("max_doc")))

@@ -1,0 +1,79 @@
+"""Connected components (operators/cc.py): correctness on crafted
+graphs (chains, stars, multi-component, self-loops/duplicate edges),
+diameter-independence (a long path converges in few alternating-star
+rounds), determinism under repartitioning, and the cluster summary.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.operators.cc import (connected_components,
+                                             dedup_clusters)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs],
+                                 "a long, b long")
+
+
+def comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+class TestComponents:
+    def test_two_components_and_min_labels(self, spark):
+        e = edges_df(spark, [(5, 3), (3, 8), (10, 11), (11, 12), (12, 10)])
+        m = comp_map(connected_components(e, "a", "b"))
+        assert m == {3: 3, 5: 3, 8: 3, 10: 10, 11: 10, 12: 10}
+
+    def test_long_path_diameter_independence(self, spark):
+        # a 100-node path has diameter 99; min-label propagation would
+        # need ~99 rounds — alternating-star must do it within the
+        # small max_iter budget
+        e = edges_df(spark, [(i, i + 1) for i in range(100)])
+        m = comp_map(connected_components(e, "a", "b", max_iter=10))
+        assert set(m.values()) == {0}
+        assert len(m) == 101
+
+    def test_self_loops_and_duplicate_edges_ignored(self, spark):
+        e = edges_df(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (4, 4)])
+        m = comp_map(connected_components(e, "a", "b"))
+        # 4 only appears as a self-loop: no pair evidence, not emitted
+        assert m == {1: 1, 2: 1}
+
+    def test_empty_pairs(self, spark):
+        e = edges_df(spark, []) if False else \
+            spark.createDataFrame([], "a long, b long")
+        assert connected_components(e, "a", "b").count() == 0
+
+    def test_partitioning_invariance(self, spark):
+        pairs = [(i, (i * 7) % 40) for i in range(40) if i != (i * 7) % 40]
+        a = comp_map(connected_components(
+            edges_df(spark, pairs).repartition(1), "a", "b"))
+        b = comp_map(connected_components(
+            edges_df(spark, pairs).repartition(16, "b"), "a", "b"))
+        assert a == b
+
+    def test_nonconvergence_raises(self, spark):
+        e = edges_df(spark, [(1, 2), (2, 3)])
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(e, "a", "b", max_iter=0)
+
+
+class TestClusterSummary:
+    def test_summary_fields(self, spark):
+        e = edges_df(spark, [(5, 3), (3, 8), (20, 30)])
+        rows = {r["component"]: (r["n_docs"], r["max_doc"])
+                for r in dedup_clusters(e).collect()}
+        assert rows == {3: (3, 8), 20: (2, 30)}
+
+    def test_keeplist_semantics(self, spark):
+        # keep-list = all docs minus non-survivor members
+        docs = spark.range(10).select(F.col("id").alias("doc_id"))
+        e = edges_df(spark, [(1, 4), (4, 7)])
+        cc = connected_components(e, "a", "b")
+        drop = cc.filter(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias("doc_id"))
+        kept = sorted(r["doc_id"] for r in
+                      docs.join(drop, "doc_id", "left_anti").collect())
+        assert kept == [0, 1, 2, 3, 5, 6, 8, 9]
