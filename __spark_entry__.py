@@ -639,6 +639,54 @@ def q_events_asof_join(spark, sf_dir):
         F.round("asof_value", 2).alias("view_value"))
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source reader end-to-end (operators/warc.py — the web
+    archive container web corpora ship in): documents are serialized
+    into 25 multi-record WARC blobs (deterministic string build so the
+    oracle can reconstruct expected output without parsing), every
+    fifth blob gets a deliberately truncated trailing record, and the
+    reader explodes blobs to records inside ONE mapInPandas hop with
+    per-record fault containment (the bad record emits
+    status='truncated', the rest of the blob survives)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.warc import warc_records
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://example.com/doc/"), did.cast("string"))
+    # HTTP preamble is exactly 44 octets; texts are ASCII but use
+    # octet_length anyway — Content-Length is an OCTET count
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url, F.lit("\r\nContent-Length: "),
+        (F.octet_length("text") + 44).cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.col("text"), F.lit("\r\n\r\n"))
+    blobs = (d.select((did % 25).alias("blob_id"),
+                      F.struct(did.alias("doc_id"), rec.alias("rec"))
+                       .alias("s"))
+             .groupBy("blob_id")
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list("s")),
+                             lambda s: s["rec"]), "").alias("txt")))
+    bad = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://bad.example/x\r\n"
+           "Content-Length: 999999\r\n\r\nshort")
+    blobs = blobs.select(
+        "blob_id",
+        F.encode(F.when(F.col("blob_id") % 5 == 0,
+                        F.concat(F.col("txt"), F.lit(bad)))
+                  .otherwise(F.col("txt")), "UTF-8").alias("blob"))
+    out = warc_records(blobs)
+    return out.select(
+        F.col("blob_id").cast("long").alias("blob_id"),
+        F.col("target_uri").alias("url"),
+        "status",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.length("body").cast("long").alias("n_body"),
+        F.md5("body").alias("body_fp")).orderBy("blob_id", "url")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS from the exact Jaccard pair graph:
     alternating large-star/small-star connected components
@@ -806,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "dataset_split": q_dataset_split,
         "events_asof_join": q_events_asof_join,
+        "warc_roundtrip": q_warc_roundtrip,
         "dedup_clusters": q_dedup_clusters,
         "pii_redact": q_pii_redact,
         "repetition_filters": q_repetition_filters,
@@ -1454,6 +1503,25 @@ ORACLES["decontaminate"] = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
     FROM tr JOIN ev USING (g)
     GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id
+"""
+
+# the blob build is deterministic string concat, so the expected parse
+# output is reconstructible WITHOUT parsing: ok-rows straight from
+# documents, plus one planted truncated record per fifth blob
+ORACLES["warc_roundtrip"] = """
+    SELECT CAST(doc_id % 25 AS BIGINT) AS blob_id,
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'ok' AS status,
+           CAST(200 AS BIGINT) AS http_status,
+           'text/html' AS content_type,
+           CAST(strlen(text) AS BIGINT) AS n_body,
+           md5(text) AS body_fp
+    FROM documents
+    UNION ALL
+    SELECT CAST(g AS BIGINT), 'https://bad.example/x', 'truncated',
+           NULL, NULL, CAST(0 AS BIGINT), md5('')
+    FROM range(0, 25) t(g) WHERE g % 5 = 0
+    ORDER BY blob_id, url
 """
 
 # chr(769)=U+0301 combining acute, chr(776)=U+0308 combining diaeresis —
