@@ -565,6 +565,29 @@ def q_url_host_salt_plan(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_quota_sample(spark, sf_dir):
+    """Deterministic per-host quota sampling (partitioning.quota_sample)
+    over the same linearly-skewed host corpus as url_host_salt_plan:
+    keep <=15 docs per host, winners = cap-smallest md5-hash units.
+    The skew-defusing pre-thin (broadcast count join + u<threshold
+    filter BEFORE the window) is part of the operator definition, so
+    the DuckDB oracle replays count, threshold, and rank bit-for-bit."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.partitioning import host_of, quota_sample
+    d = _t(spark, sf_dir, "documents")
+    hidx = F.floor(F.sqrt(F.col("doc_id") % 1024)).cast("long")
+    urls = d.select(
+        F.concat(F.lit("https://h"), hidx.cast("string"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = urls.withColumn("host", host_of(F.col("url")))
+    out = quota_sample(hosts, group_col="host", cap=15,
+                       key_col="url", hash_family="md5")
+    return (out.select("host", "url", "u",
+                       F.col("rk").cast("long").alias("rk"))
+            .orderBy("host", "rk"))
+
+
 def q_sketch_accuracy(spark, sf_dir):
     """Sketch operators — the 100-TB path for distinct counts and
     percentiles (exact count(DISTINCT)/percentile need a full shuffle
@@ -851,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
+        "quota_sample": q_quota_sample,
         "sketch_accuracy": q_sketch_accuracy,
         "dataset_split": q_dataset_split,
         "events_asof_join": q_events_asof_join,
@@ -1508,6 +1532,32 @@ ORACLES["decontaminate"] = f"""
 # the blob build is deterministic string concat, so the expected parse
 # output is reconstructible WITHOUT parsing: ok-rows straight from
 # documents, plus one planted truncated record per fifth blob
+# replay of quota_sample's md5 family: u = first-6-hex md5 / 16^6
+# (24-bit value over 2^24 — exact in double on both engines), pre-thin
+# threshold least(1, oversample*cap/n_host), rank over (u, url)
+ORACLES["quota_sample"] = """
+    WITH urls AS (
+      SELECT 'https://h'
+             || CAST(CAST(floor(sqrt(doc_id % 1024)) AS BIGINT) AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    h AS (SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+          FROM urls),
+    n AS (SELECT host, count(*) AS n FROM h GROUP BY host),
+    t AS (SELECT h.host, h.url,
+                 CAST(('0x' || substr(md5(url), 1, 6)) AS BIGINT)::DOUBLE
+                   / 16777216 AS u,
+                 least(1.0, 30.0 / n.n) AS thr
+          FROM h JOIN n USING (host)),
+    f AS (SELECT host, url, u,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY u, url) AS rk
+          FROM t WHERE u < thr)
+    SELECT host, url, u, CAST(rk AS BIGINT) AS rk
+    FROM f WHERE rk <= 15 ORDER BY host, rk
+"""
+
 ORACLES["warc_roundtrip"] = """
     SELECT CAST(doc_id % 25 AS BIGINT) AS blob_id,
            'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -80,6 +80,7 @@ HEADLINE = [
     "events_asof_join",
     "dataset_split",
     "sketch_accuracy",
+    "quota_sample",
     "warc_roundtrip",
     "dedup_clusters",
     "pii_redact",

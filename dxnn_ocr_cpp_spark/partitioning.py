@@ -18,6 +18,7 @@ north rule `hash(url)` bucket mandate.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # byte-length buckets for html blobs (analog of ratio buckets {3,5,10,15,25,35})
@@ -47,6 +48,55 @@ def salted_repartition(df, n_partitions: int, url_col: str = "url",
 def bucket_id(url_col, n_buckets: int = 32):
     """Stable bucket id for layout/lineage: pmod(xxhash64(url), n)."""
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+# ---------------- deterministic per-group quota sampling ----------------
+
+def hash_unit(key_col, hash_family: str = "xxhash64"):
+    """Deterministic pseudo-uniform u in [0,1) from a key — the shared
+    primitive under split_assign and quota_sample. md5 family is
+    engine-replayable (first-6-hex-chars / 16^6); xxhash64 is the
+    cheaper JVM production family."""
+    if hash_family == "md5":
+        total = 16 ** SPLIT_HEX_WIDTH
+        return (F.conv(F.substring(F.md5(key_col), 1, SPLIT_HEX_WIDTH),
+                       16, 10).cast("double") / total)
+    return F.pmod(F.xxhash64(key_col), F.lit(1_000_000)) \
+        .cast("double") / 1_000_000
+
+
+def quota_sample(df, group_col: str, cap: int, key_col: str = "url",
+                 oversample: float = 2.0,
+                 hash_family: str = "xxhash64"):
+    """Keep at most `cap` rows per group, chosen deterministically (the
+    cap-smallest hash_unit(key) values — stable across runs, clusters,
+    and row additions outside the winners, unlike df.sampleBy).
+
+    Scale shape: the naive form — row_number over
+    partitionBy(group) — funnels EVERY row of a hot group through one
+    window task before the cap filter drops them, the exact skew the
+    north rule exists to defuse. So rows are pre-thinned first: group
+    counts (one partial-agg shuffle on group) broadcast back, and only
+    rows with u < oversample*cap/n_group survive to the window —
+    expected window input is oversample*cap per group REGARDLESS of
+    group size. The pre-filter is part of the operator definition
+    (both hash families and the SQL oracle replay it bit-for-bit), so
+    determinism is unconditional; `oversample` only trades pre-filter
+    sharpness against the binomial tail where a group yields fewer
+    than cap winners.
+
+    Returns df's columns + `u` + `rk` (1-based deterministic rank
+    within the group).
+    """
+    u = hash_unit(F.col(key_col), hash_family)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.least(F.lit(1.0), F.lit(float(oversample) * cap) / F.col("__n"))
+    thinned = (df.withColumn("u", u)
+               .join(F.broadcast(counts), group_col)
+               .filter(F.col("u") < thr).drop("__n"))
+    w = Window.partitionBy(group_col).orderBy("u", key_col)
+    return (thinned.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap))
 
 
 # ---------------- deterministic dataset splits ----------------

@@ -87,3 +87,69 @@ class TestSplitAssign:
         with pytest.raises(ValueError, match="sum to 1"):
             split_assign(self._docs(spark, 10),
                          splits=(("a", 0.5), ("b", 0.4)))
+
+
+class TestQuotaSample:
+    """Deterministic per-group cap (partitioning.quota_sample)."""
+
+    def _hosts(self, spark, n=3000):
+        # skewed: host 'big' owns ~90% of rows
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.concat(F.lit("https://x/"), F.col("id").cast("string"))
+             .alias("url"),
+            F.when(F.col("id") % 10 < 9, "big")
+             .otherwise(F.concat(F.lit("s"), (F.col("id") % 7)
+                                 .cast("string"))).alias("host"))
+
+    @pytest.mark.parametrize("family", ["xxhash64", "md5"])
+    def test_cap_respected_and_deterministic(self, spark, family):
+        from dxnn_ocr_cpp_spark.partitioning import quota_sample
+        out = quota_sample(self._hosts(spark), "host", cap=15,
+                           hash_family=family)
+        from pyspark.sql import functions as F
+        per = {r["host"]: r["n"] for r in
+               out.groupBy("host").agg(F.count("*").alias("n"))
+               .collect()}
+        assert per["big"] == 15          # hot host capped exactly
+        assert all(v <= 15 for v in per.values())
+        again = quota_sample(self._hosts(spark).repartition(16),
+                             "host", cap=15, hash_family=family)
+        assert sorted(r["url"] for r in out.collect()) == \
+            sorted(r["url"] for r in again.collect())
+
+    def test_winners_stable_under_corpus_growth(self, spark):
+        """A winner can only be displaced by a new row with a smaller
+        hash unit — never reshuffled arbitrarily (the sampleBy/rand
+        failure mode)."""
+        from dxnn_ocr_cpp_spark.partitioning import quota_sample
+        small = quota_sample(self._hosts(spark, 1000), "host", cap=5,
+                             hash_family="md5")
+        big = quota_sample(self._hosts(spark, 3000), "host", cap=5,
+                           hash_family="md5")
+        small_u = {(r["host"], r["url"]): r["u"] for r in small.collect()}
+        from pyspark.sql import functions as F
+        big_max = {r["host"]: r["u"] for r in
+                   big.groupBy("host").agg(F.max("u").alias("u"))
+                   .collect()}
+        # every dropped small-corpus winner lost to a smaller-u row
+        for (h, url), u in small_u.items():
+            kept = {r["url"] for r in big.collect() if r["host"] == h}
+            if url not in kept:
+                assert big_max[h] <= u
+
+    def test_window_input_is_prethinned(self, spark):
+        """The skew guard: the hot group's window must see ~oversample*
+        cap rows, not the whole group."""
+        from dxnn_ocr_cpp_spark.partitioning import hash_unit, quota_sample
+        from pyspark.sql import functions as F
+        df = self._hosts(spark, 20000)
+        counts = df.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
+        thinned = (df.withColumn("u", hash_unit(F.col("url")))
+                   .join(counts, "host")
+                   .filter(F.col("u") < F.least(
+                       F.lit(1.0), F.lit(2.0 * 15) / F.col("__n"))))
+        big_in = thinned.filter(F.col("host") == "big").count()
+        assert big_in < 200              # vs 18000 raw rows
+        assert quota_sample(df, "host", cap=15) \
+            .filter(F.col("host") == "big").count() == 15
