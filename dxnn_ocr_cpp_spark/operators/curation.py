@@ -128,6 +128,56 @@ def repetition_ok(feats: dict[str, Column]) -> Column:
 
 # ---------- benchmark decontamination ----------
 
+def _exploded_grams(df: DataFrame, id_col: str, text_col: str,
+                    n: int, gram_family: str) -> DataFrame:
+    """(id, g) inverted-index rows in ONE mapInPandas hop with the 1->N
+    expansion done Python-side (np.repeat) — the same shape as
+    textstats.exploded_hash_rows, for the same two reasons: (a)
+    `F.explode(pandas_udf(...))` plans a dead duplicate ArrowEvalPython
+    (the UDF runs twice), and (b) the Catalyst word_grams expression is
+    O(words^2) per doc (slice+array_join per position) — measured 4x
+    slower than the O(words) Python set-build at sf0.1."""
+    import numpy as np
+
+    from dxnn_ocr_cpp_spark.operators.dedup import _gram_hashes, _tokenize
+
+    def gram_strings(s):
+        # the exact gram universe of dedup.word_grams (same tokenize,
+        # same short-doc fallback) — pinned in tests/test_curation.py
+        if s is None:
+            return []
+        w = _tokenize(s)
+        if len(w) >= n:
+            return list({" ".join(w[i:i + n])
+                         for i in range(len(w) - n + 1)})
+        return [" ".join(w)]
+
+    is_hash = gram_family != "grams"
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if is_hash:
+                hs = [_gram_hashes(t, n) for t in pdf[text_col]]
+            else:
+                hs = [gram_strings(t) for t in pdf[text_col]]
+            lens = np.fromiter((len(h) for h in hs), np.int64, len(hs))
+            if lens.sum():
+                g = (np.concatenate([h for h in hs if len(h)])
+                     if is_hash else
+                     [x for h in hs for x in h])
+            else:
+                g = np.empty(0, np.int64) if is_hash else []
+            yield pd.DataFrame({"id": np.repeat(ids, lens), "g": g})
+
+    src = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(
+        gen, schema=f"id long, g {'long' if is_hash else 'string'}")
+
+
 def decontaminate(train: DataFrame, evalset: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, min_common: int = 2,
@@ -151,14 +201,10 @@ def decontaminate(train: DataFrame, evalset: DataFrame,
 
     Returns (id_col, n_shared) for contaminated docs only.
     """
-    if gram_family == "grams":
-        gram = lambda c: word_grams(c, n)            # noqa: E731
-    else:
-        gram = lambda c: word_shingle_hashes(c, n)   # noqa: E731
-    ev = (evalset.select(F.explode(gram(F.col(text_col))).alias("g"))
-          .distinct())
-    tr = train.select(F.col(id_col),
-                      F.explode(gram(F.col(text_col))).alias("g"))
+    ev = (_exploded_grams(evalset, id_col, text_col, n, gram_family)
+          .select("g").distinct())
+    tr = (_exploded_grams(train, id_col, text_col, n, gram_family)
+          .withColumnRenamed("id", id_col))
     return (tr.join(F.broadcast(ev), "g")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
