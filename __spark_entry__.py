@@ -827,16 +827,26 @@ def q_nfc_normalize(spark, sf_dir):
 
 
 def q_extract_corpus(spark, sf_dir):
-    """The extraction pipeline itself as a queries() entry (pure-UDF
-    stage -> rows-only check; byte-level correctness is pinned by the
-    golden pytest suite instead)."""
+    """The extraction pipeline itself as a queries() entry. Input is
+    the seeded 200-doc synthetic corpus (pure function of (seed, i) —
+    no external data), so the output is fully deterministic and the
+    DuckDB oracle reads a frozen expected-output parquet
+    (tests/golden/extract_corpus_expected.parquet, regenerated by
+    tools/freeze_extract_expected.py whenever extraction semantics
+    change — same discipline as tests/test_golden.py). text_md5 pins
+    the north-rule invariant (byte-identical extracted text per url)
+    through the driver's hash compare, not just span counts."""
     _prep(spark)
     from dxnn_ocr_cpp_spark.corpus import generate_documents_df
     from dxnn_ocr_cpp_spark.pipeline import extract
     docs = generate_documents_df(spark, N_DOCS_ENTRY)
     return (extract(docs)
-            .select("url", "n_spans", "n_candidates", "charset",
-                    F.length("text").alias("text_len")))
+            .select("url",
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.col("n_candidates").cast("long").alias("n_candidates"),
+                    "charset",
+                    F.length("text").cast("long").alias("text_len"),
+                    F.md5(F.encode("text", "UTF-8")).alias("text_md5")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1594,10 +1604,22 @@ ORACLES["nfc_normalize"] = """
 """
 
 
+# The extraction flagship: input is the seeded synthetic corpus (no
+# external data), so expected output is a frozen parquet fixture
+# (tools/freeze_extract_expected.py). The md5-of-text column makes the
+# driver's value-hash compare pin the north-rule byte-identity
+# invariant end-to-end; staleness is caught first by
+# tests/test_golden.py::test_extract_corpus_fixture_fresh.
+ORACLES["extract_corpus"] = """
+    SELECT url, n_spans, n_candidates, charset, text_len, text_md5
+    FROM read_parquet('/root/repo/tests/golden/extract_corpus_expected.parquet')
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # minhash_lsh_pairs / simhash_pairs / winnow_pairs / embedding_lsh_topk /
-    # embedding_ivf_topk / embedding_cosine_dups_scale / extract_corpus
-    # are deliberately omitted: probabilistic candidate sets or
-    # pure-UDF stages -> driver rows-only check; byte-level extraction
-    # correctness is enforced by tests/test_golden.py.
+    # embedding_ivf_topk / embedding_cosine_dups_scale are deliberately
+    # omitted: probabilistic candidate sets whose hash mixing DuckDB
+    # cannot replay -> driver rows-only check; each has an md5-family
+    # oracled twin and/or an internal exact-verify + pytest recall pin.
     return dict(ORACLES)

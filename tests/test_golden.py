@@ -35,3 +35,26 @@ def test_golden_byte_identity(spark, n_docs):
                 or r["charset"] != g["charset"]):
             mismatches.append(r["url"])
     assert not mismatches, f"{len(mismatches)} golden mismatches: {mismatches[:5]}"
+
+
+def test_extract_corpus_fixture_fresh(spark):
+    """The driver-oracle fixture (extract_corpus_expected.parquet) must
+    match a live run — catches a stale fixture after extraction-semantics
+    changes BEFORE the driver's DuckDB compare does. Regenerate with
+    tools/freeze_extract_expected.py."""
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import q_extract_corpus
+
+    expected = {
+        r["url"]: r
+        for r in pq.read_table(
+            GOLDEN_DIR / "extract_corpus_expected.parquet").to_pylist()
+    }
+    live = q_extract_corpus(spark, "").collect()
+    assert len(live) == len(expected)
+    for r in live:
+        e = expected[r["url"]]
+        got = {k: r[k] for k in ("url", "n_spans", "n_candidates",
+                                 "charset", "text_len", "text_md5")}
+        assert got == e, f"stale fixture for {r['url']}: {got} != {e}"
