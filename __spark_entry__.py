@@ -849,6 +849,35 @@ def q_extract_corpus(spark, sf_dir):
                     F.md5(F.encode("text", "UTF-8")).alias("text_md5")))
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/urls.py) — the dedup-key
+    normalizer run before url-level dedup in every web pipeline. Messy
+    variants (case-noise, default ports, tracking params, fragments,
+    unsorted query params, empty paths) are synthesized from doc_id with
+    residue arithmetic both engines replay identically; the DuckDB twin
+    canonicalizes with the SAME regex strings (urls.oracle_url_sql).
+    Zero shuffle: pure Catalyst column expressions."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import canonical_url
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url2 = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(i % 2 == 0, F.lit("Host")).otherwise(F.lit("host")),
+        (i % 20).cast("string"), F.lit(".Example.org"),
+        F.when(i % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("")).otherwise(F.concat(F.lit("/p/"), s)),
+        F.when(i % 3 == 1, F.lit("?b=2&a=1&utm_source=feed"))
+         .when(i % 3 == 2, F.lit("?utm_campaign=x"))
+         .otherwise(F.lit("")),
+        F.when(i % 2 == 1, F.lit("#sec")).otherwise(F.lit("")))
+    return (d.select("doc_id", url2.alias("url2"))
+            .select("doc_id", "url2",
+                    canonical_url("url2").alias("canon"))
+            .withColumn("changed", F.col("canon") != F.col("url2")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -894,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": q_repetition_filters,
         "decontaminate": q_decontaminate,
         "nfc_normalize": q_nfc_normalize,
+        "url_canonicalize": q_url_canonicalize,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -1603,6 +1633,33 @@ ORACLES["nfc_normalize"] = """
     FROM inj
 """
 
+
+# URL canonicalization twin: injection arithmetic inline, the
+# canonicalization expression generated by the SAME module that builds
+# the Spark column (urls.oracle_url_sql — shared regex constants)
+def _url_canon_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.urls import oracle_url_sql
+    return f"""
+    WITH inj AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END)
+             || CAST(doc_id % 20 AS VARCHAR) || '.Example.org'
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN ''
+                      ELSE '/p/' || CAST(doc_id AS VARCHAR) END)
+             || (CASE WHEN doc_id % 3 = 1 THEN '?b=2&a=1&utm_source=feed'
+                      WHEN doc_id % 3 = 2 THEN '?utm_campaign=x'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END) AS url2
+      FROM documents)
+    SELECT doc_id, url2, {oracle_url_sql('url2')} AS canon,
+           ({oracle_url_sql('url2')} <> url2) AS changed
+    FROM inj
+"""
+
+
+ORACLES["url_canonicalize"] = _url_canon_oracle()
 
 # The extraction flagship: input is the seeded synthetic corpus (no
 # external data), so expected output is a frozen parquet fixture

@@ -1,0 +1,62 @@
+"""URL canonicalization: policy unit cases, Spark<->DuckDB expression
+parity (the oracle is generated from the same module), zero-shuffle
+plan pin."""
+
+import duckdb
+import pytest
+
+from dxnn_ocr_cpp_spark.operators.urls import canonical_url, oracle_url_sql
+
+CASES = [
+    # (input, expected canonical)
+    ("HTTPS://Host.Example.org:443/p?b=2&a=1&utm_source=x#frag",
+     "https://host.example.org/p?a=1&b=2"),
+    ("http://a.example.com:80/", "http://a.example.com/"),
+    ("http://a.example.com:8080/x?z=1&z=0",
+     "http://a.example.com:8080/x?z=0&z=1"),      # non-default port kept
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/path/?utm_campaign=c&fbclid=abc",
+     "https://example.com/path/"),                # emptied query drops '?'
+    ("ftp://Example.Com:21/file", "ftp://example.com:21/file"),
+    ("not a url at all", "not a url at all"),     # unparseable -> unchanged
+    ("//protocol-relative.example/x", "//protocol-relative.example/x"),
+    (None, None),                                 # null-safe
+    ("https://example.com/a?&&a=1&", "https://example.com/a?a=1"),
+    ("http://user@Host.com:80/p#f", "http://user@host.com/p"),
+    ("http://h.com:80", "http://h.com/"),
+    ("https://h.com:443?a=1", "https://h.com/?a=1"),
+    ("http://h.com/p?gclid=1#x", "http://h.com/p"),
+    ("https://h.com/CasePreserved/Path?K=V", "https://h.com/CasePreserved/Path?K=V"),
+]
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CASES], "url string") \
+              .select("url", canonical_url("url").alias("canon"))
+    return df, {r["url"]: r["canon"] for r in df.collect()}
+
+
+def test_policy_cases(results):
+    _, got = results
+    for url, want in CASES:
+        assert got[url] == want, f"{url!r}: {got[url]!r} != {want!r}"
+
+
+def test_duckdb_twin_parity(results):
+    _, got = results
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c, _ in CASES])
+    oracle = dict(
+        con.execute(f"SELECT url, {oracle_url_sql('url')} FROM t").fetchall())
+    for url, _ in CASES:
+        assert got[url] == oracle[url], \
+            f"{url!r}: spark {got[url]!r} != duckdb {oracle[url]!r}"
+
+
+def test_zero_shuffle_plan(results):
+    df, _ = results
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan    # pure Catalyst, no UDF hop
