@@ -770,17 +770,16 @@ def q_repetition_filters(spark, sf_dir):
     shuffle. Thresholds imported from the module constants; the DuckDB
     oracle recomputes every metric with list functions."""
     _prep(spark)
-    from dxnn_ocr_cpp_spark.operators.curation import (repetition_features,
-                                                       repetition_ok)
+    from dxnn_ocr_cpp_spark.operators.curation import \
+        with_repetition_features
     d = _t(spark, sf_dir, "documents")
-    f = repetition_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        f["n_words"].cast("long").alias("n_words"),
-        F.round(f["dup_word_frac"], 6).alias("dup_word_frac"),
-        F.round(f["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
-        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
-        repetition_ok(f).alias("keep"))
+    return (with_repetition_features(d)
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.round("dup_word_frac", 6).alias("dup_word_frac"),
+                    F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+                    F.round("mean_word_len", 6).alias("mean_word_len"),
+                    "keep"))
 
 
 def q_decontaminate(spark, sf_dir):
@@ -847,6 +846,52 @@ def q_extract_corpus(spark, sf_dir):
                     "charset",
                     F.length("text").cast("long").alias("text_len"),
                     F.md5(F.encode("text", "UTF-8")).alias("text_md5")))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate dedup (operators/curation.py,
+    remove_boilerplate_lines) — the CCNet/RefinedWeb line-wise dedup
+    step: lines whose document frequency >= 5 (cookie banners, footers)
+    are dropped and documents reassembled from surviving lines in
+    order. Boilerplate lines are injected deterministically (banner on
+    every doc, newsletter line on doc_id%4==0, footer on doc_id%2==0)
+    around the unique body; the DuckDB twin replays injection, df
+    count, classification, and ordered reassembly. clean_fp = md5 of
+    the reassembled text pins byte-exact reassembly through the
+    driver's hash compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import \
+        remove_boilerplate_lines
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("Accept cookies to continue\n"),
+        F.when(i % 4 == 0, F.lit("Subscribe to our newsletter\n"))
+         .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(i % 2 == 0, F.lit("\n© 2026 Example Corp"))
+         .otherwise(F.lit("")))
+    inj = d.select("doc_id", text2.alias("text2"))
+    return (remove_boilerplate_lines(inj, text_col="text2", min_df=5)
+            .select("doc_id", "n_lines", "n_dropped",
+                    F.md5("text_clean").alias("clean_fp")))
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (operators/chunking.py): docs split into
+    16-token chunks with 4 tokens of overlap — the training-example
+    prep step. 1→N fan-out via sequence+explode, zero shuffle, zero
+    Python; the DuckDB twin replays tokenization, the ceil chunk-count
+    arithmetic, list slicing, and joins. chunk_fp = md5(chunk_text)
+    pins chunk bytes through the driver's hash compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.chunking import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    return (chunk_documents(d, max_tokens=16, overlap=4)
+            .select("doc_id",
+                    F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "n_tokens",
+                    F.md5("chunk_text").alias("chunk_fp")))
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -924,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "nfc_normalize": q_nfc_normalize,
         "url_canonicalize": q_url_canonicalize,
+        "line_dedup": q_line_dedup,
+        "chunk_documents": q_chunk_documents,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -1660,6 +1707,70 @@ def _url_canon_oracle() -> str:
 
 
 ORACLES["url_canonicalize"] = _url_canon_oracle()
+
+# Line-level boilerplate dedup twin: same injection arithmetic, df
+# count over trimmed nonblank lines, anti-join classification, ordered
+# reassembly (string_agg ORDER BY pos == array_sort struct order —
+# pos is unique per doc). No WITH ORDINALITY in this DuckDB build, so
+# positions come from a struct-list comprehension + recursive unnest.
+ORACLES["line_dedup"] = """
+    WITH inj AS (
+      SELECT doc_id,
+             'Accept cookies to continue' || chr(10)
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN 'Subscribe to our newsletter' || chr(10)
+                      ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN chr(10) || '© 2026 Example Corp'
+                      ELSE '' END) AS text2
+      FROM documents),
+    splits AS (SELECT doc_id, string_split(text2, chr(10)) AS l FROM inj),
+    lines AS (
+      SELECT doc_id,
+             unnest([{'pos': CAST(i - 1 AS BIGINT), 'line': l[i]}
+                     for i in range(1, len(l) + 1)], recursive := true)
+      FROM splits),
+    dfreq AS (
+      SELECT md5(trim(line)) AS lkey, count(DISTINCT doc_id) AS line_df
+      FROM lines WHERE trim(line) <> '' GROUP BY 1),
+    boiler AS (SELECT lkey FROM dfreq WHERE line_df >= 5),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN boiler b ON md5(trim(l.line)) = b.lkey
+      WHERE b.lkey IS NULL),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+               FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           CAST(t.n_lines - count(k.line) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), ''))
+             AS clean_fp
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.n_lines
+"""
+
+# Token-window chunking twin (max_tokens=16, overlap=4, stride=12).
+# Slice ends clamp in both engines; empty/blank docs produce no rows.
+ORACLES["chunk_documents"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents),
+    nc AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= 16 THEN least(len(t), 1)
+                  ELSE CAST(ceil((len(t) - 4) / 12.0) AS INT) END AS k
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, t, unnest(range(0, k)) AS chunk_id
+      FROM nc WHERE k > 0)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(len(t) - chunk_id * 12, 16) AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               t[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ')) AS chunk_fp
+    FROM chunks
+"""
 
 # The extraction flagship: input is the seeded synthetic corpus (no
 # external data), so expected output is a frozen parquet fixture

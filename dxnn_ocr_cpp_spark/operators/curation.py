@@ -116,6 +116,51 @@ def repetition_features(text: Column) -> dict[str, Column]:
     }
 
 
+def with_repetition_features(df: DataFrame, text_col: str = "text",
+                             keep_cols: tuple = ("doc_id",)) -> DataFrame:
+    """DataFrame-level repetition gate: (keep_cols..., n_words,
+    dup_word_frac, dup_2gram_frac, mean_word_len, keep).
+
+    This is the PRODUCTION path. The Column-dict API above is fine for
+    composing one or two features, but selecting all features + the
+    keep-gate from it inlines the tokenize/bigram pipeline into every
+    output expression — Catalyst's CollapseProject re-duplicates
+    cheap-looking aliases — and the whole split/distinct chain runs
+    ~10x per row (measured 14.4s -> 0.94s at sf0.1 when staged).
+    Staged projections below keep each array computed ONCE per row;
+    value-identical to the dict API (same oracle)."""
+    w = F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")
+    s1 = df.select(*keep_cols,
+                   F.when(F.trim(text_col) == "",
+                          F.array().cast("array<string>"))
+                    .otherwise(w).alias("__w"))
+    n = F.size("__w")
+    g2 = F.transform(F.sequence(F.lit(1), n - 1),
+                     lambda i: F.concat(F.element_at("__w", i), F.lit(" "),
+                                        F.element_at("__w", i + 1)))
+    s2 = s1.select(*keep_cols, "__w",
+                   F.when(n >= 2, g2)
+                    .otherwise(F.array().cast("array<string>")).alias("__g2"))
+    n2 = F.size("__g2")
+    total_len = F.aggregate("__w", F.lit(0), lambda a, x: a + F.length(x))
+    s3 = s2.select(
+        *keep_cols,
+        n.cast("int").alias("n_words"),
+        F.when(n > 0, 1.0 - F.size(F.array_distinct("__w")) / n.cast("double"))
+         .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(n2 > 0,
+               1.0 - F.size(F.array_distinct("__g2")) / n2.cast("double"))
+         .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        F.when(n > 0, total_len / n.cast("double"))
+         .otherwise(F.lit(0.0)).alias("mean_word_len"))
+    lo, hi = MEAN_WORD_LEN_RANGE
+    return s3.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= DUP_WORD_FRAC_MAX)
+        & (F.col("dup_2gram_frac") <= DUP_2GRAM_FRAC_MAX)
+        & (F.col("mean_word_len") >= lo) & (F.col("mean_word_len") <= hi))
+
+
 def repetition_ok(feats: dict[str, Column]) -> Column:
     """The keep-gate: inside every threshold. Empty docs fail on
     mean_word_len (0 < 1.5) — they are rejected upstream anyway."""
@@ -226,3 +271,78 @@ def normalize_nfc(text: Column) -> Column:
     same sanctioned UDF shape as the segmenter; DuckDB's nfc_normalize
     provides an independent oracle. Idempotent; None-safe."""
     return _nfc_udf(text)
+
+
+# ---------- line-level boilerplate dedup (CCNet-style) ----------
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_df: int = 5,
+                             keep_frac_below: float | None = None,
+                             max_line_df_cap: int = 100_000) -> DataFrame:
+    """Drop lines that repeat across many documents (cookie banners,
+    nav footers, legal boilerplate) and reassemble each document from
+    its surviving lines in original order — the line-wise dedup step
+    of CCNet / RefinedWeb, applied corpus-wide.
+
+    A line is boilerplate when its document frequency (distinct docs
+    containing the trimmed line) >= min_df, or — when keep_frac_below
+    is set — when df/n_docs >= keep_frac_below. Blank lines are never
+    counted as boilerplate (they carry layout, not content) and are
+    always kept in place.
+
+    Scale shape (10^12 docs):
+      explode lines      narrow (posexplode, no shuffle)
+      df count           ONE groupBy on md5(line) with partial
+                         aggregation; count capped at max_line_df_cap
+                         via least() AFTER full aggregation — the cap
+                         bounds nothing here at small scale but keeps
+                         the downstream broadcast decision honest when
+                         a line appears in billions of docs
+      classify           shuffle join lines ⋈ df table on the line
+                         hash — both sides hash-partition on the same
+                         key, so AQE plans it without a second
+                         exchange of the big side
+      reassemble         ONE groupBy on doc id: collect surviving
+                         (pos, line) structs, array_sort, array_join
+    Never O(n²); every aggregation is partial (map-side combine).
+
+    Returns (id_col, text_clean, n_lines, n_dropped).
+
+    Reference analog: the per-request text post-filters
+    (/root/reference/server/ocr_handler.cpp:96-124) generalized from
+    one request's spans to a corpus-wide statistical gate.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("lkey", F.md5(F.trim(F.col("line"))))
+    nonblank = keyed.filter(F.trim(F.col("line")) != "")
+    dfreq = (nonblank.groupBy("lkey")
+             .agg(F.least(
+                 F.count_distinct(F.col(id_col)).cast("long"),
+                 F.lit(max_line_df_cap).cast("long")).alias("line_df")))
+    if keep_frac_below is not None:
+        n_docs = df.select(F.count_distinct(F.col(id_col))).collect()[0][0]
+        boiler = dfreq.filter(
+            F.col("line_df") >= F.lit(float(keep_frac_below) * n_docs))
+    else:
+        boiler = dfreq.filter(F.col("line_df") >= F.lit(min_df))
+    classified = keyed.join(boiler.select("lkey"), "lkey", "left_anti")
+    survivors = (classified
+                 .groupBy(id_col)
+                 .agg(F.array_sort(F.collect_list(
+                          F.struct("pos", "line"))).alias("kept"),
+                      F.count(F.lit(1)).cast("long").alias("n_kept")))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return (totals.join(survivors, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(
+                        F.array_join(F.transform(
+                            "kept", lambda s: s["line"]), "\n"),
+                        F.lit("")).alias("text_clean"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("n_kept"),
+                                                   F.lit(0))
+                     ).cast("long").alias("n_dropped")))

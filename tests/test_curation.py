@@ -155,3 +155,69 @@ class TestNFC:
         assert rows[3]["n"] == "ascii only"
         again = df.select(normalize_nfc(F.col("n")).alias("n2")).collect()
         assert [r["n2"] for r in again] == [r["n"] for r in rows]
+
+
+class TestLineDedup:
+    @pytest.fixture(scope="class")
+    def cleaned(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(i, "SHARED BANNER\nunique body %d\n\ntail %d" % (i, i))
+             for i in range(6)]
+            + [(6, "SHARED BANNER"),          # all-boiler doc
+               (7, "")],                      # empty doc
+            "doc_id long, text string")
+        out = remove_boilerplate_lines(docs, min_df=5)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_boiler_dropped_body_kept_in_order(self, cleaned):
+        assert cleaned[3]["text_clean"] == "unique body 3\n\ntail 3"
+        assert cleaned[3]["n_lines"] == 4
+        assert cleaned[3]["n_dropped"] == 1
+
+    def test_blank_lines_survive(self, cleaned):
+        assert "\n\n" in cleaned[2]["text_clean"]
+
+    def test_all_boiler_doc_empties(self, cleaned):
+        assert cleaned[6]["text_clean"] == ""
+        assert cleaned[6]["n_dropped"] == 1
+
+    def test_empty_doc_roundtrips(self, cleaned):
+        assert cleaned[7]["text_clean"] == ""
+        assert cleaned[7]["n_lines"] == 1
+        assert cleaned[7]["n_dropped"] == 0
+
+    def test_frac_mode(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            remove_boilerplate_lines
+        docs = spark.createDataFrame(
+            [(i, "common\nbody %d" % i) for i in range(10)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+            docs, keep_frac_below=0.5).collect()}
+        assert out[1]["text_clean"] == "body 1"   # df=10 >= 0.5*10
+
+
+class TestRepetitionStagedAPI:
+    def test_staged_agrees_with_column_dict(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import (
+            repetition_features, repetition_ok, with_repetition_features)
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam spam"),
+             (2, "a perfectly normal sentence with varied words here"),
+             (3, ""), (4, "ab " * 40), (5, "one")],
+            "doc_id long, text string")
+        f = repetition_features(F.col("text"))
+        a = sorted(docs.select(
+            "doc_id", f["n_words"].alias("n_words"),
+            F.round(f["dup_word_frac"], 9).alias("dwf"),
+            F.round(f["dup_2gram_frac"], 9).alias("dgf"),
+            F.round(f["mean_word_len"], 9).alias("mwl"),
+            repetition_ok(f).alias("keep")).collect())
+        b = sorted(with_repetition_features(docs).select(
+            "doc_id", "n_words",
+            F.round("dup_word_frac", 9).alias("dwf"),
+            F.round("dup_2gram_frac", 9).alias("dgf"),
+            F.round("mean_word_len", 9).alias("mwl"), "keep").collect())
+        assert a == b
