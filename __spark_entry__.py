@@ -285,11 +285,15 @@ def q_winnow_pairs(spark, sf_dir):
     SIGMOD 2003). Threshold calibrated on the corpus: template-level
     sharing tops out at n_common~11 (p99.9), seeded near-dup pairs
     cluster at 20-55. Engine-specific hash mixing -> rows-only check;
-    kernel guarantees pinned in tests/test_winnow.py."""
+    kernel guarantees pinned in tests/test_winnow.py. strategy='count'
+    here: the synthetic corpus's tiny fingerprint vocabulary (~3k
+    distinct over 5k docs) is the dense-sharing shape where the slim
+    inverted-index count beats prefix filtering (4.2s vs 6.2s at
+    sf0.1); equal output either way (pinned in test_winnow.py)."""
     _prep(spark)
     from dxnn_ocr_cpp_spark.operators.textstats import winnow_pairs
     d = _t(spark, sf_dir, "documents")
-    return (winnow_pairs(d, min_common=20)
+    return (winnow_pairs(d, min_common=20, strategy="count")
             .select(F.col("a").cast("long").alias("a"),
                     F.col("b").cast("long").alias("b"),
                     F.col("n_common").cast("long").alias("n_common")))

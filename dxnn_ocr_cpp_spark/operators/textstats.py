@@ -291,7 +291,8 @@ def winnow_pairs_catalyst(df: DataFrame, id_col: str = "doc_id",
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 8, w: int = 16,
                  min_common: int = 3,
-                 max_fp_df: int = 1000) -> DataFrame:
+                 max_fp_df: int = 1000,
+                 strategy: str = "prefix") -> DataFrame:
     """Doc pairs sharing >= min_common winnowed fingerprints — i.e.
     pairs with at least one (likely several) copied passage(s) of
     length >= w+k-1 chars. Inverted index with a hot-fingerprint cap
@@ -324,13 +325,39 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     fingerprint kernel + id-exchange are computed once for both
     consumers. This replaced a two-window (row_number + count)
     formulation: same output, one less sort pass over the index
-    (measured ~1s at sf0.1)."""
+    (measured ~1s at sf0.1).
+
+    strategy — two equal-output physical plans (equality pinned in
+    tests/test_winnow.py):
+      prefix  the plan above. Wins on long-tail fingerprint
+              distributions (real web corpora): each doc's rarest
+              prefix fps collide with almost nobody, so the candidate
+              set collapses and the O(|A|+|B|) exact intersect runs on
+              a sliver of pairs.
+      count   df-capped inverted-index self-join + groupBy(a,b) count
+              — one exchange of slim (id, g) rows, partial-aggregated,
+              no arrays. Wins when the fingerprint VOCABULARY is tiny
+              relative to the corpus (dense sharing: every fp has high
+              df, so prefixes prune little and the per-candidate
+              intersect dominates — measured 4.2s vs 6.2s at sf0.1 on
+              the synthetic corpus, whose ~3k distinct fps over 5k
+              docs is exactly that shape).
+    Both are never O(n²): the df cap bounds per-fingerprint join
+    fan-out either way."""
+    if strategy not in ("prefix", "count"):
+        raise ValueError(f"strategy must be prefix|count, got {strategy}")
     ex = exploded_hash_rows(df, id_col, text_col,
                             lambda s: _winnow_one(s, k, w)).drop("n")
     # global doc frequency per fingerprint; fps hotter than the cap are
     # excluded from counting entirely (unchanged skew-guard semantics)
     gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     capped = ex.join(gdf.filter(F.col("gdf") <= max_fp_df), "g")
+    if strategy == "count":
+        return (capped.alias("x").join(capped.alias("y"), "g")
+                .filter(F.col("x.id") < F.col("y.id"))
+                .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+                .agg(F.count(F.lit(1)).cast("int").alias("n_common"))
+                .filter(F.col("n_common") >= min_common))
     # per-doc fps sorted rarest-first under the total order (gdf, g) —
     # struct comparison is field-order lexicographic, and g is unique
     # within a doc, so the order is total and deterministic

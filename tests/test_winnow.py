@@ -132,3 +132,22 @@ class TestSimhashRecall:
         d = spark.range(1).selectExpr("id as doc_id", "'x' as text")
         with _pytest.raises(ValueError):
             simhash_pairs(d, max_hamming=8)
+
+
+class TestStrategies:
+    def test_count_strategy_equals_prefix(self):
+        """Both physical plans return identical pairs/counts — the
+        strategy knob only trades shuffle shape, never semantics."""
+        from dxnn_ocr_cpp_spark.session import build_session
+        s = build_session(app="winnow-strategy", master="local[4]")
+        d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted((r.a, r.b, r.n_common) for r in
+                   winnow_pairs(d, min_common=5, strategy="prefix").collect())
+        b = sorted((r.a, r.b, r.n_common) for r in
+                   winnow_pairs(d, min_common=5, strategy="count").collect())
+        assert a == b and len(a) > 0
+
+    def test_bad_strategy_raises(self):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            winnow_pairs(None, strategy="nope")
