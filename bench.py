@@ -99,6 +99,8 @@ HEADLINE = [
     "decontaminate",
     "nfc_normalize",
     "url_canonicalize",
+    "line_dedup",
+    "chunk_documents",
 ]
 
 
