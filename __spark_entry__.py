@@ -936,6 +936,56 @@ def q_url_canonicalize(spark, sf_dir):
             .withColumn("changed", F.col("canon") != F.col("url2")))
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring (operators/lm.py): train
+    a top-512 unigram LM on the corpus itself, score each document by
+    mean token log-probability, gate on the rounded score. One vocab
+    groupBy (partial-agg), TakeOrdered top-V, then explode_outer +
+    broadcast vocab join + per-doc fan-in — no plan shape that grows
+    with corpus size except linearly. The DuckDB twin replays the
+    vocabulary cutoff (count DESC, token ASC), the add-one smoothing
+    and the ln() mean; both sides round to 4 dp so libm last-ulp
+    differences can't flip the hash."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.lm import lm_quality
+    d = _t(spark, sf_dir, "documents")
+    # gate threshold sits inside the synthetic corpus's (narrow,
+    # 31-token-vocab) score range so the keep column discriminates;
+    # the module default -8.0 is the realistic web-corpus setting
+    return lm_quality(d, min_avg_logp=-3.41).orderBy("doc_id")
+
+
+def q_recrawl_latest(spark, sf_dir):
+    """Re-crawl snapshot dedup — the Common-Crawl "keep newest capture
+    per url" step run before any content dedup. A (url, warc_ts)
+    capture history is synthesized deterministically from doc_id
+    (5 hosts × 100 paths; multiple doc_ids collide per url, each with
+    a distinct epoch-derived timestamp), then one max_by aggregation
+    keeps the latest capture per url, tie-broken by doc_id. ONE shuffle
+    on url with partial aggregation — at 10^12 docs this is the
+    cheapest possible plan (no window sort, no join-back). The DuckDB
+    twin uses arg-max-by-struct semantics via row_number."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                   F.lit(".example.org/p"), (i % 100).cast("string"))
+    # distinct per-doc capture times: base epoch + residue-scrambled
+    # offset (both engines replay the arithmetic exactly)
+    ts = (F.lit(1700000000).cast("long")
+          + (i * 37 % 100000).cast("long") * 60 + i)
+    caps = d.select(i.alias("doc_id"), url.alias("url"), ts.alias("cap_ts"))
+    latest = (caps.groupBy("url")
+              .agg(F.count("*").cast("long").alias("n_captures"),
+                   F.max_by(F.struct(F.col("cap_ts"), F.col("doc_id")),
+                            F.struct(F.col("cap_ts"), F.col("doc_id")))
+                    .alias("win")))
+    return (latest.select("url", "n_captures",
+                          F.col("win.cap_ts").alias("latest_ts"),
+                          F.col("win.doc_id").alias("latest_doc"))
+            .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -984,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
         "chunk_documents": q_chunk_documents,
+        "lm_quality": q_lm_quality,
+        "recrawl_latest": q_recrawl_latest,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -1794,6 +1846,63 @@ ORACLES["chunk_documents"] = """
 ORACLES["extract_corpus"] = """
     SELECT url, n_spans, n_candidates, charset, text_len, text_md5
     FROM read_parquet('/root/repo/tests/golden/extract_corpus_expected.parquet')
+"""
+
+# Unigram-LM quality twin: replays the dedup-family tokenization, the
+# deterministic top-512 vocabulary cutoff (count DESC, token ASC), the
+# add-one smoothing logp(t) = ln(c+1) - ln(T + K + 1), and the per-doc
+# mean. Both sides round to 4 dp before the keep-gate compare so libm
+# last-ulp drift between engines cannot flip either the hash or the
+# boolean. sum(c) is cast to DOUBLE before ln (DuckDB would make it
+# HUGEINT).
+ORACLES["lm_quality"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    kept AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 512),
+    konst AS (SELECT CAST((SELECT sum(c) FROM cnt) AS DOUBLE)
+                     + CAST((SELECT count(*) FROM kept) AS DOUBLE)
+                     + 1.0 AS denom),
+    sc AS (
+      SELECT t.doc_id,
+             ln(coalesce(k.c, 0) + 1.0) - ln(konst.denom) AS lp
+      FROM tok t LEFT JOIN kept k USING (token) CROSS JOIN konst),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(lp), 4) AS avg_logp
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.avg_logp, 0.0) AS avg_logp,
+           (coalesce(a.n_tokens, 0) > 0
+            AND coalesce(a.avg_logp, 0.0) >= -3.41) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# Re-crawl latest-capture twin: same url/cap_ts synthesis arithmetic;
+# Spark's max_by(struct(cap_ts, doc_id)) == row_number over
+# (cap_ts DESC, doc_id DESC) = 1.
+ORACLES["recrawl_latest"] = """
+    WITH caps AS (
+      SELECT doc_id,
+             'https://h' || (doc_id % 5) || '.example.org/p'
+               || (doc_id % 100) AS url,
+             CAST(1700000000 + (doc_id * 37 % 100000) * 60 + doc_id
+                  AS BIGINT) AS cap_ts
+      FROM documents),
+    ranked AS (
+      SELECT url, cap_ts, doc_id,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY cap_ts DESC, doc_id DESC) AS rk,
+             count(*) OVER (PARTITION BY url) AS n_captures
+      FROM caps)
+    SELECT url, CAST(n_captures AS BIGINT) AS n_captures,
+           cap_ts AS latest_ts, doc_id AS latest_doc
+    FROM ranked WHERE rk = 1 ORDER BY url
 """
 
 

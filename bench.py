@@ -101,6 +101,8 @@ HEADLINE = [
     "url_canonicalize",
     "line_dedup",
     "chunk_documents",
+    "lm_quality",
+    "recrawl_latest",
 ]
 
 
