@@ -203,10 +203,12 @@ def _burn(n: int) -> int:
 
 
 def run_scaling(corpus: str) -> dict:
-    """Interleave the two levels three times and keep the best observed
-    throughput per level: the sandbox VM's available CPU drifts by
-    ~10% over minutes, and interleaving prevents a noise dip from
-    landing entirely on one level."""
+    """Alternate the two levels as lo hi lo hi lo ... so every hi run
+    is bracketed by two lo runs: efficiency ratios use the bracketing
+    mean (first-order drift cancellation), throughput uses
+    best-per-level. The sandbox VM's available CPU drifts by ~10% over
+    minutes; interleaving prevents a noise dip from landing entirely
+    on one level."""
     def worker(cores: int) -> dict:
         # the sandbox VM occasionally stalls for minutes at a time; a
         # hung/failed worker is retried once instead of sinking the run
@@ -228,19 +230,33 @@ def run_scaling(corpus: str) -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = SCALING_LEVELS
-    results, rounds = {}, []
+    lo_seq, hi_seq = [], []
 
+    # BRACKETED rounds: every hi run sits between two lo runs and its
+    # ratio is taken against their MEAN. A back-to-back (lo, hi) pair
+    # still aliases host drift into the ratio — the lo leg runs ~4x
+    # longer, so a speed change between the legs lands entirely on one
+    # side (one such window measured a physically impossible 1.004
+    # "efficiency" round). With linear drift g(t), mean(lo(t0), lo(t2))
+    # ≈ lo·g(t_hi) because the hi leg sits at the midpoint — first-
+    # order cancellation for one extra lo leg per RUN (not per round:
+    # consecutive rounds share the bracketing lo).
     def one_round():
-        pair = {cores: worker(cores) for cores in SCALING_LEVELS}
-        rounds.append(pair)
-        for cores, r in pair.items():
-            if cores not in results or \
-                    r["docs_per_sec"] > results[cores]["docs_per_sec"]:
-                results[cores] = r
+        if not lo_seq:
+            lo_seq.append(worker(lo))
+        hi_seq.append(worker(hi))
+        lo_seq.append(worker(lo))
 
     def ratios():
-        return [p[hi]["docs_per_sec"] / (p[lo]["docs_per_sec"] * (hi / lo))
-                for p in rounds]
+        out = []
+        for i, h in enumerate(hi_seq):
+            lo_mean = (lo_seq[i]["docs_per_sec"]
+                       + lo_seq[i + 1]["docs_per_sec"]) / 2
+            out.append(h["docs_per_sec"] / (lo_mean * (hi / lo)))
+        return out
+
+    def n_rounds():
+        return len(hi_seq)
 
     # host-health gate BEFORE measuring the engine: the ceiling probe
     # is pure-python multiprocessing (no Spark), so a low reading means
@@ -267,7 +283,7 @@ def run_scaling(corpus: str) -> dict:
     # matched-pair ratios spread wider than 0.1 the host was drifting
     # mid-measurement, so collect up to two more rounds — more data
     # under noise, the same median estimator either way
-    while len(rounds) < 5 and max(ratios()) - min(ratios()) > 0.1:
+    while n_rounds() < 5 and max(ratios()) - min(ratios()) > 0.1:
         one_round()
     # recovery rounds: if the host was degraded for every pre-run probe
     # but measures healthy now, the measurement window was bad — sample
@@ -276,17 +292,20 @@ def run_scaling(corpus: str) -> dict:
     post = cpu_ceiling(lo, hi)
     probes.append(post)
     if healthy(post) and not any(healthy(p) for p in probes[:-1]):
-        while len(rounds) < 5:
+        while n_rounds() < 5:
             one_round()
-    # efficiency from MATCHED pairs: each round measures lo then hi
-    # back-to-back, so both see the same host window.
-    # (best-per-level-across-rounds mixes windows: a slow patch
-    # covering every lo run but not the ceiling probe once produced
-    # 0.79 "efficiency" on an engine that measures 0.85.)
-    # HEADLINE = MEDIAN of the matched-pair ratios: max() over noisy
+    # best observed throughput per level, across all runs (the VM's
+    # available CPU drifts ~10% over minutes, so best-per-level is the
+    # least host-biased THROUGHPUT estimate; efficiency never mixes
+    # windows — it comes from the bracketed ratios only).
+    # HEADLINE = MEDIAN of the bracketed ratios: max() over noisy
     # ratios systematically biases upward (a lucky-noise round wins);
     # the best round is still reported, labeled as such.
     import statistics
+    results = {
+        lo: max(lo_seq, key=lambda r: r["docs_per_sec"]),
+        hi: max(hi_seq, key=lambda r: r["docs_per_sec"]),
+    }
     eff_rounds = ratios()
     eff = statistics.median(eff_rounds)
     # best observed host window (probes bracket the measurement:
@@ -298,7 +317,7 @@ def run_scaling(corpus: str) -> dict:
     # validity: a ceiling probe > 1.05 is physically impossible under
     # stable CPU (the host throttled the probe's LOW-parallelism phase
     # relative to its high one — mid-measurement drift), and a > 0.2
-    # spread across matched rounds means different rounds saw
+    # spread across bracketed rounds means different rounds saw
     # different hosts. Label the window rather than publish a number
     # that reads as an engine property.
     unstable = max(probes) > 1.05 or \
@@ -356,7 +375,7 @@ def write_report(payload: dict) -> None:
         f"| local[{hi}] | {hi_r['wall_sec']} | {hi_r['docs_per_sec']} |",
         "",
         f"**Scaling efficiency ({lo}->{hi} cores, 4x): "
-        f"{ext['scaling_efficiency']} (median of matched lo/hi rounds; "
+        f"{ext['scaling_efficiency']} (median of lo-bracketed hi rounds; "
         f"best round {ext['scaling_efficiency_best']})** — per-round "
         f"{ext['efficiency_per_round']} "
         f"(host CPU ceiling for {lo}->{hi} pure-python procs, measured "
@@ -374,12 +393,13 @@ def write_report(payload: dict) -> None:
             "",
         ]
     lines += [
-        "Three lo/hi rounds (extended to five when the ratio spread "
-        "exceeds 0.1 — noise-triggered, not result-triggered), each a "
-        "back-to-back matched pair; headline efficiency is the MEDIAN "
-        "round (max over noisy ratios biases upward), throughput "
-        "best-per-level (the sandbox VM's available CPU drifts ~10% "
-        "over minutes).",
+        "Three hi rounds (extended to five when the ratio spread "
+        "exceeds 0.1 — noise-triggered, not result-triggered), each "
+        "BRACKETED by two lo runs and ratioed against their mean so "
+        "linear host drift cancels to first order; headline efficiency "
+        "is the MEDIAN round (max over noisy ratios biases upward), "
+        "throughput best-per-level (the sandbox VM's available CPU "
+        "drifts ~10% over minutes).",
         "",
         "Reference precedent: DXNN-OCR card scaling 7.40 -> 14.73 -> "
         "21.96 FPS across 1/2/3 NPUs = 0.995/0.989 efficiency "

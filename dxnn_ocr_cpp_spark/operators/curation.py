@@ -226,7 +226,9 @@ def _exploded_grams(df: DataFrame, id_col: str, text_col: str,
 def decontaminate(train: DataFrame, evalset: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3, min_common: int = 2,
-                  gram_family: str = "blake2b") -> DataFrame:
+                  gram_family: str = "blake2b",
+                  prefilter: str = "none",
+                  expected_eval_grams: int = 1_000_000) -> DataFrame:
     """Flag training docs that share >= min_common distinct word
     n-grams with ANY doc of a benchmark/eval set (the decontamination
     pass every LLM data pipeline runs before training).
@@ -244,12 +246,60 @@ def decontaminate(train: DataFrame, evalset: DataFrame,
     (same token universe), which is what lets the DuckDB oracle replay
     the operator bit-for-bit.
 
+    prefilter "bloom" inserts a Bloom-filter pass BEFORE the exact
+    broadcast join. Spark's built-in bloom_filter_agg/might_contain
+    pair is internal-only (not in the function registry), so the
+    filter is built from public primitives: k=3 seeded xxhash64
+    positions per eval gram, OR-folded into 64-bit words with one
+    bit_or aggregation — the whole eval gram set collapses to a
+    (word, bits) table of n_bits/64 long-pairs (~2.5 bytes/item at
+    the default 10 bits/item; a 100M-gram eval suite broadcasts as
+    ~250 MB of bitmap instead of GBs of gram strings). The train side
+    probes it with k chained broadcast-hash joins + getbit() — all
+    executor-side, zero extra shuffle. Survivors — true matches plus
+    the filter's ~2% false positives — still go through the IDENTICAL
+    exact broadcast join, so the output is bit-equal to prefilter
+    "none" (pinned in tests/test_curation.py); the bloom pass is
+    purely a broadcast-bytes/CPU trade for web-scale eval suites.
+    Output-identity also means the DuckDB oracle stays valid for
+    either setting.
+
     Returns (id_col, n_shared) for contaminated docs only.
     """
+    if prefilter not in ("none", "bloom"):
+        raise ValueError(f"prefilter must be none|bloom, got {prefilter}")
     ev = (_exploded_grams(evalset, id_col, text_col, n, gram_family)
           .select("g").distinct())
     tr = (_exploded_grams(train, id_col, text_col, n, gram_family)
           .withColumnRenamed("id", id_col))
+    if prefilter == "bloom":
+        n_items = max(int(expected_eval_grams), 1)
+        n_bits = n_items * 10  # k=3 hashes at 10 bits/item -> ~1.7% fp
+        k = 3
+
+        def pos(i: int) -> Column:
+            # k independent hash positions: xxhash64 seeded by mixing
+            # in the hash index; pmod keeps them in [0, n_bits)
+            return F.pmod(F.xxhash64("g", F.lit(i)), F.lit(n_bits))
+
+        word_bits = (
+            ev.select(F.explode(F.array(*[pos(i) for i in range(k)]))
+                      .alias("p"))
+            .select(F.shiftright("p", 6).alias("w"),
+                    # pyspark's shiftleft() only takes a literal shift,
+                    # so the column-shift goes through SQL
+                    F.expr("shiftleft(1L, int(p % 64))").alias("m"))
+            .groupBy("w").agg(F.bit_or("m").alias("bits")))
+        for i in range(k):
+            side = word_bits.select(F.col("w").alias(f"_w{i}"),
+                                    F.col("bits").alias(f"_bits{i}"))
+            tr = (tr.withColumn(f"_w{i}", F.shiftright(pos(i), 6))
+                  .withColumn(f"_b{i}", (pos(i) % 64).cast("int"))
+                  # inner join: a gram whose word has no bits at all
+                  # cannot be in the filter, so dropping it is correct
+                  .join(F.broadcast(side), f"_w{i}")
+                  .where(F.expr(f"getbit(_bits{i}, _b{i}) = 1"))
+                  .drop(f"_w{i}", f"_b{i}", f"_bits{i}"))
     return (tr.join(F.broadcast(ev), "g")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))

@@ -141,6 +141,32 @@ class TestDecontaminate:
                      "BroadcastNestedLoopJoin"):
             assert node not in plan
 
+    def test_bloom_prefilter_output_identical(self, corpora):
+        # bloom is a broadcast-bytes optimization, never a semantics
+        # change: false positives die in the exact join that follows
+        train, evalset = corpora
+        a = sorted(decontaminate(train, evalset, min_common=2).collect())
+        b = sorted(decontaminate(train, evalset, min_common=2,
+                                 prefilter="bloom",
+                                 expected_eval_grams=1_000).collect())
+        assert a == b
+        assert a   # the fixture plants real overlap
+
+    def test_bloom_plan_has_filter_and_exact_join(self, corpora):
+        train, evalset = corpora
+        df = decontaminate(train, evalset, prefilter="bloom",
+                           expected_eval_grams=1_000)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "getbit" in plan              # bitmap probes present
+        assert plan.count("BroadcastHashJoin") >= 4  # 3 probes + exact
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bad_prefilter_rejected(self, corpora):
+        train, evalset = corpora
+        with pytest.raises(ValueError):
+            decontaminate(train, evalset, prefilter="cuckoo")
+
 
 class TestNFC:
     def test_composes_and_idempotent(self, spark):
