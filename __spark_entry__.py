@@ -420,6 +420,19 @@ def q_embedding_cosine_dups_scale(spark, sf_dir):
     return cosine_dup_pairs_lsh(emb, threshold=0.4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (operators/similarity.py,
+    semantic_dedup): k-means cells as candidate buckets, within-cell
+    block-matmul pair mining, connected components, keep min id per
+    duplicate group. k-means + hash mixing -> rows-only check;
+    collapse semantics and partitioning invariance pinned in
+    tests/test_similarity_pairs.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_lists=8)
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """IVF-indexed ANN top-k (inverted-file cells, nprobe=8/16) —
     approximate -> rows-only check; recall vs brute force is pinned in
@@ -890,6 +903,104 @@ def q_line_dedup(spark, sf_dir):
                     F.md5("text_clean").alias("clean_fp")))
 
 
+# duplicated-span injection shared by q_duplicate_spans/q_span_dedup
+# and their oracles: a >100-char boilerplate block spliced into every
+# doc_id%3==0 doc at a doc-dependent offset (doc_id%37), so the spans
+# sit at DIFFERENT positions in every carrier — the driver's value
+# compare therefore certifies the chunking's translation invariance,
+# not just duplicate counting.
+_CDC_BOILER = ("All rights reserved. Reproduction in whole or in part "
+               "without written permission is strictly prohibited. "
+               "Terms of use and privacy policy apply to all visitors.")
+
+
+def _cdc_injected(d):
+    i = (F.col("doc_id") % 37).cast("int")
+    spliced = F.concat(
+        F.col("text").substr(F.lit(1), i),
+        F.lit(_CDC_BOILER),
+        F.col("text").substr(i + 1, F.length("text")))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, spliced)
+         .otherwise(F.col("text")).alias("text"))
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate-span detection via content-defined
+    chunking (operators/cdc.py) — the span-level dedup pass of the
+    training-data-dedup literature, re-expressed as pure Catalyst
+    higher-order functions + ONE window exchange. md5 hash family:
+    the DuckDB twin replays the per-position cut rule, chunking,
+    and cross-doc detection end-to-end."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cdc import duplicate_spans
+    d = _cdc_injected(_t(spark, sf_dir, "documents"))
+    return (duplicate_spans(d, hash_family="md5")
+            .select("doc_id",
+                    F.col("start").cast("long").alias("start"),
+                    F.col("length").cast("long").alias("length"),
+                    "n_copies"))
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span REMOVAL (operators/cdc.py,
+    remove_duplicate_spans, keep='first'): the corpus keeps exactly
+    one copy of every cross-document duplicated chunk and documents
+    are reassembled from their surviving spans in order. clean_fp =
+    md5 of the reassembled text pins byte-exact surgery through the
+    driver's hash compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cdc import remove_duplicate_spans
+    d = _cdc_injected(_t(spark, sf_dir, "documents"))
+    return (remove_duplicate_spans(d, keep="first", hash_family="md5")
+            .select("doc_id",
+                    F.length("text").cast("long").alias("clean_len"),
+                    F.md5("text").alias("clean_fp")))
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Domain-blocklist gate (operators/urls.py, flag_blocked): hosts
+    are matched against a blocklist by exact domain or subdomain —
+    chained broadcast joins over end-anchored host suffixes, zero
+    corpus-side shuffle. URLs synthesized from doc_id residues both
+    engines replay; the DuckDB twin matches via EXISTS with the SAME
+    suffix semantics (host = dom OR host LIKE '%.'||dom)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import flag_blocked
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url2 = F.concat(
+        F.lit("https://"),
+        F.when(i % 7 == 0,
+               F.concat(F.lit("sub"), (i % 3).cast("string"),
+                        F.lit(".blocked.net")))
+         .otherwise(F.concat(F.lit("host"), (i % 20).cast("string"),
+                             F.lit(".example.org"))),
+        F.lit("/p/"), i.cast("string"))
+    bl = spark.createDataFrame(
+        [("blocked.net",), ("host3.example.org",)], "domain string")
+    return (flag_blocked(d.select("doc_id", url2.alias("url2")),
+                         bl, url_col="url2")
+            .select("doc_id", "url2", "blocked"))
+
+
+def q_pack_shards(spark, sf_dir):
+    """Training-shard packing (operators/shards.py): documents
+    assigned to fixed token-budget output shards via a bucketed
+    distributed prefix sum (no full-corpus single-partition window).
+    The DuckDB twin is ONE naive `sum() OVER (ORDER BY doc_id)` —
+    certifying that the two-level bucket decomposition equals the
+    sequential cumulative sum exactly."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.shards import shard_manifest
+    d = _t(spark, sf_dir, "documents")
+    return (shard_manifest(d, tokens_col="n_chars", order_col="doc_id",
+                           shard_tokens=20_000, bucket_width=64)
+            .select("shard_id", "n_docs", "total_tokens",
+                    "first_doc", "last_doc"))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (operators/chunking.py): docs split into
     16-token chunks with 4 tokens of overlap — the training-example
@@ -1018,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_roundtrip": q_base64_roundtrip,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
+        "semantic_dedup": q_semantic_dedup,
         "media_pipeline": q_media_pipeline,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
@@ -1033,6 +1145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "span_dedup": q_span_dedup,
+        "pack_shards": q_pack_shards,
+        "url_blocklist": q_url_blocklist,
         "chunk_documents": q_chunk_documents,
         "lm_quality": q_lm_quality,
         "recrawl_latest": q_recrawl_latest,
@@ -1812,6 +1928,128 @@ ORACLES["line_dedup"] = """
              AS clean_fp
     FROM totals t LEFT JOIN kept k USING (doc_id)
     GROUP BY t.doc_id, t.n_lines
+"""
+
+# Content-defined-chunking twins (operators/cdc.py, md5 family,
+# w=16, p=32): the shared CTE block replays injection (same
+# _CDC_BOILER constant the Spark query splices — one source of
+# truth), the per-position md5 cut rule, chunk assembly, and the
+# cross-doc window. duplicate_spans checks detection; span_dedup
+# checks keep='first' removal + byte-exact reassembly (clean_fp).
+_CDC_CTES = f"""
+    inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               substr(text, 1, CAST(doc_id % 37 AS INT))
+               || '{_CDC_BOILER}'
+               || substr(text, CAST(doc_id % 37 AS INT) + 1, len(text))
+             ELSE text END AS text
+      FROM documents),
+    live AS (SELECT doc_id, text FROM inj
+             WHERE text IS NOT NULL AND len(text) > 0),
+    pos AS (SELECT doc_id, text, unnest(range(16, len(text))) AS i
+            FROM live WHERE len(text) > 16),
+    cuts AS (
+      SELECT doc_id, i FROM pos
+      WHERE substr(md5(substr(text, i - 15, 16)), 1, 1) = '0'
+        AND substr(md5(substr(text, i - 15, 16)), 2, 1)
+            BETWEEN '0' AND '7'),
+    cl AS (SELECT doc_id, list_sort(list(i)) AS cs
+           FROM cuts GROUP BY doc_id),
+    bounds AS (
+      SELECT d.doc_id, d.text,
+             list_prepend(CAST(1 AS BIGINT),
+                          [c + 1 for c in coalesce(cl.cs, [])]) AS starts,
+             list_append(coalesce(cl.cs, []),
+                         CAST(len(d.text) AS BIGINT)) AS ends
+      FROM live d LEFT JOIN cl USING (doc_id)),
+    idx AS (SELECT doc_id, text, starts, ends,
+                   unnest(range(1, len(starts) + 1)) AS k
+            FROM bounds),
+    chunks AS (
+      SELECT doc_id, CAST(starts[k] AS BIGINT) AS start,
+             CAST(ends[k] - starts[k] + 1 AS BIGINT) AS length,
+             md5(substr(text, CAST(starts[k] AS INT),
+                        CAST(ends[k] - starts[k] + 1 AS INT)))
+               AS chunk_key
+      FROM idx),
+    win AS (
+      SELECT doc_id, start, length, chunk_key,
+             CAST(count(*) OVER (PARTITION BY chunk_key) AS BIGINT)
+               AS n_copies,
+             min(doc_id) OVER (PARTITION BY chunk_key)
+               <> max(doc_id) OVER (PARTITION BY chunk_key) AS crossdoc,
+             row_number() OVER (PARTITION BY chunk_key
+                                ORDER BY doc_id, start) AS rn
+      FROM chunks)
+"""
+
+# Domain-blocklist twin: the host regex is imported from the engine
+# module (one source of truth); suffix-match semantics expressed as
+# EXISTS (exact-or-'.'-prefixed-suffix), provably identical to the
+# operator's label-boundary suffix equality.
+from dxnn_ocr_cpp_spark.operators.urls import AUTHORITY_RE as _AUTH_RE
+
+ORACLES["url_blocklist"] = f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 7 = 0
+                THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.blocked.net'
+                ELSE 'host' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org' END
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url2
+      FROM documents),
+    bl AS (SELECT * FROM (VALUES ('blocked.net'),
+                                 ('host3.example.org')) b(domain)),
+    h AS (SELECT doc_id, url2,
+                 lower(regexp_extract(url2, '{_AUTH_RE}', 1)) AS host
+          FROM u)
+    SELECT doc_id, url2,
+           EXISTS (SELECT 1 FROM bl WHERE h.host = bl.domain
+                   OR h.host LIKE '%.' || bl.domain) AS blocked
+    FROM h
+"""
+
+# Shard-packing twin: the oracle is the NAIVE sequential prefix sum
+# (one ORDER BY window) — exactly the formulation the Spark operator
+# decomposes into bucket sums + within-bucket windows to avoid a
+# single-partition stage; value equality certifies the decomposition.
+ORACLES["pack_shards"] = """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             CAST(coalesce(sum(n_chars) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum
+      FROM documents),
+    s AS (SELECT doc_id, n_chars,
+                 CAST(cum // 20000 AS BIGINT) AS shard_id FROM c)
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY shard_id
+"""
+
+ORACLES["duplicate_spans"] = f"""
+    WITH {_CDC_CTES}
+    SELECT doc_id, start, length, n_copies
+    FROM win WHERE crossdoc AND n_copies >= 2
+"""
+
+ORACLES["span_dedup"] = f"""
+    WITH {_CDC_CTES},
+    kept AS (SELECT doc_id, start, length FROM win
+             WHERE NOT crossdoc OR rn = 1),
+    agg AS (
+      SELECT w.doc_id,
+             string_agg(substr(l.text, CAST(w.start AS INT),
+                               CAST(w.length AS INT)),
+                        '' ORDER BY w.start) AS txt
+      FROM kept w JOIN live l USING (doc_id) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(len(coalesce(a.txt, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(a.txt, '')) AS clean_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 # Token-window chunking twin (max_tokens=16, overlap=4, stride=12).

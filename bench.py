@@ -102,6 +102,11 @@ HEADLINE = [
     "line_dedup",
     "chunk_documents",
     "lm_quality",
+    "duplicate_spans",
+    "span_dedup",
+    "semantic_dedup",
+    "pack_shards",
+    "url_blocklist",
     "recrawl_latest",
 ]
 

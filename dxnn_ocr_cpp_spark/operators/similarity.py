@@ -162,6 +162,17 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     bb = pre.select(
         "id", "v",
         F.posexplode(bucket_udf(F.col("v"))).alias("band", "bucket"))
+    return (bb.groupBy("band", "bucket")
+            .applyInPandas(_block_pair_kernel(threshold, round_to, block),
+                           "a long, b long, sim double")
+            .dropDuplicates(["a", "b"]))
+
+
+def _block_pair_kernel(threshold: float, round_to: int, block: int):
+    """applyInPandas kernel: all within-group pair cosines >= threshold,
+    as block-tiled numpy matmuls. Expects columns (id, v); shared by
+    cosine_dup_pairs_lsh (groups = LSH band buckets) and semantic_dedup
+    (groups = k-means cells)."""
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -204,9 +215,63 @@ def cosine_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
                 .astype({"a": "int64", "b": "int64", "sim": "float64"})
         return pd.concat(outs, ignore_index=True)
 
-    return (bb.groupBy("band", "bucket")
-            .applyInPandas(bucket_pairs, "a long, b long, sim double")
-            .dropDuplicates(["a", "b"]))
+    return bucket_pairs
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
+                   n_lists: int = 16, iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   sample_fraction: float | None = None,
+                   round_to: int = 4, block: int = 4096) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cluster the
+    embedding space, mine near-identical pairs (cosine >= threshold)
+    WITHIN each cluster, connect them into duplicate groups, keep one
+    representative (the min id) per group.
+
+    Returns (id, group_id, keep) for EVERY input row: group_id is the
+    component representative (= the row's own id for non-duplicates),
+    keep is True exactly for representatives — filter on keep for the
+    curated corpus.
+
+    Scale shape: clustering is the candidate generator (pairs in
+    different cells are never compared — the recall trade the
+    published method makes by design); the per-cell pair mining is the
+    same block-tiled matmul kernel as cosine_dup_pairs_lsh, ONE
+    shuffle on list_id, pairs emitted result-sized. Each k-means cell
+    materializes as one Arrow group, so size n_lists to the corpus
+    (cells of ~10-100k vectors; the published configuration also uses
+    corpus-proportional cluster counts). Grouping duplicates uses
+    connected_components (O(log^2 n) rounds) rather than per-cell
+    greedy pruning, so a duplicate chain across one cell is collapsed
+    to exactly one survivor deterministically.
+
+    Not SQL-replayable (k-means + hash mixing) -> rows-only driver
+    check; semantics pinned by tests/test_similarity.py (planted
+    duplicate groups collapse to their min id; partitioning
+    invariance).
+    """
+    from dxnn_ocr_cpp_spark.operators.cc import connected_components
+    from dxnn_ocr_cpp_spark.operators.ivf import build_ivf
+    indexed, _ = build_ivf(emb, n_lists=n_lists, iters=iters,
+                           id_col=id_col, vec_col=vec_col,
+                           sample_fraction=sample_fraction)
+    pairs = (indexed
+             .select(F.col("nb_id").alias("id"),
+                     F.col("nb_vec").alias("v"), "list_id")
+             .groupBy("list_id")
+             .applyInPandas(_block_pair_kernel(threshold, round_to, block),
+                            "a long, b long, sim double"))
+    # every vector lives in exactly one cell -> each pair appears once;
+    # no dropDuplicates needed (unlike the multi-band LSH path)
+    comp = connected_components(pairs, "a", "b") \
+        .withColumnRenamed("node", "id")
+    return (emb.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select("id",
+                    F.coalesce("component", F.col("id"))
+                    .cast("long").alias("group_id"),
+                    (F.coalesce("component", F.col("id"))
+                     == F.col("id")).alias("keep")))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

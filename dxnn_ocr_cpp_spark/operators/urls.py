@@ -26,6 +26,7 @@ Policy (deterministic, minimal, documented):
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # kept in ONE place: the Spark expression and the DuckDB oracle SQL
@@ -83,3 +84,69 @@ def oracle_url_sql(expr: str) -> str:
     rebuilt = (f"{scheme} || '://' || {auth} || {path} || "
                f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END")
     return f"CASE WHEN {scheme} = '' THEN {expr} ELSE {rebuilt} END"
+
+
+# ---------- domain blocklist filtering ----------
+
+def host_of(url_col):
+    """Column: lowercase host of a URL (port/userinfo stripped)."""
+    if isinstance(url_col, str):
+        url_col = F.col(url_col)
+    auth = F.lower(F.regexp_extract(url_col, AUTHORITY_RE, 1))
+    auth = F.element_at(F.split(auth, "@"), -1)   # drop userinfo
+    return F.element_at(F.split(auth, ":"), 1)    # drop port
+
+
+def flag_blocked(df: DataFrame, blocklist: DataFrame,
+                 url_col: str = "url", out_col: str = "blocked",
+                 max_labels: int = 8) -> DataFrame:
+    """Flag rows whose URL host is a blocklisted domain or a
+    SUBDOMAIN of one (entry 'example.org' blocks 'example.org' and
+    'a.b.example.org') — the URL-blocklist gate web pipelines apply
+    before extraction.
+
+    blocklist: a 1-column DataFrame of lowercase domains. Scale
+    shape: the corpus side never shuffles and never explodes — the
+    host's dot-suffixes become max_labels derived columns probed by
+    chained broadcast LEFT joins against the blocklist (same idiom as
+    the decontamination bloom probes); a million-entry blocklist is a
+    few-MB broadcast. Suffixes are taken from the END of the host (the
+    last 1..max_labels labels), so a host with more labels than
+    max_labels still matches any blocklist entry up to max_labels
+    labels long — blocklist entries are registrable domains, rarely
+    over 4 labels.
+    """
+    bcol = blocklist.columns[0]
+    bl = blocklist.select(F.lower(F.col(bcol)).alias("_bl_dom")).distinct()
+    host = host_of(url_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    out = df.withColumn("_host_labels", labels)
+    hits = []
+    for j in range(max_labels):
+        # suffix of the LAST j+1 labels (j=0 -> TLD alone, j=1 ->
+        # registrable domain, ...); null when the host is shorter
+        sfx = F.when(
+            n > j,
+            F.array_join(F.slice(F.col("_host_labels"),
+                                 n - j, j + 1), "."))
+        side = bl.select(F.col("_bl_dom").alias(f"_bl{j}"))
+        out = (out.withColumn(f"_sfx{j}", sfx)
+               .join(F.broadcast(side),
+                     F.col(f"_sfx{j}") == F.col(f"_bl{j}"), "left"))
+        hits.append(F.col(f"_bl{j}").isNotNull())
+    blocked = hits[0]
+    for h in hits[1:]:
+        blocked = blocked | h
+    drop = ["_host_labels"] + [f"_sfx{j}" for j in range(max_labels)] \
+        + [f"_bl{j}" for j in range(max_labels)]
+    return out.withColumn(out_col, blocked).drop(*drop)
+
+
+def filter_blocklist(df: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url",
+                     max_labels: int = 8) -> DataFrame:
+    """Drop rows whose URL host matches the blocklist (see
+    flag_blocked); preserves the input schema."""
+    return (flag_blocked(df, blocklist, url_col, "_blocked", max_labels)
+            .filter(~F.col("_blocked")).drop("_blocked"))

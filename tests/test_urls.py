@@ -60,3 +60,56 @@ def test_zero_shuffle_plan(results):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan    # pure Catalyst, no UDF hop
+
+
+class TestBlocklist:
+    BLOCK = ["spam.example", "tracker.net", "bad.org"]
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        urls = [
+            (0, "https://spam.example/p"),            # exact
+            (1, "https://a.b.spam.example:8080/p"),   # deep subdomain+port
+            (2, "http://user@Tracker.NET/x"),         # case + userinfo
+            (3, "https://notspam.example/p"),         # suffix must align
+            (4, "https://example.org/fine"),          # bad.org != *.org
+            (5, "https://deep.bad.org/p"),
+            (6, "https://clean.site/p"),
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        bl = spark.createDataFrame([(d,) for d in self.BLOCK],
+                                   "domain string")
+        return df, bl
+
+    def test_flagging(self, spark, frames):
+        from dxnn_ocr_cpp_spark.operators.urls import flag_blocked
+        df, bl = frames
+        got = {r["doc_id"]: r["blocked"]
+               for r in flag_blocked(df, bl).collect()}
+        assert got == {0: True, 1: True, 2: True, 3: False,
+                       4: False, 5: True, 6: False}
+
+    def test_filter_preserves_schema(self, spark, frames):
+        from dxnn_ocr_cpp_spark.operators.urls import filter_blocklist
+        df, bl = frames
+        out = filter_blocklist(df, bl)
+        assert out.columns == df.columns
+        assert {r["doc_id"] for r in out.collect()} == {3, 4, 6}
+
+    def test_deep_host_beyond_max_labels(self, spark, frames):
+        # 10-label host must still match a 2-label blocklist entry
+        from dxnn_ocr_cpp_spark.operators.urls import flag_blocked
+        _, bl = frames
+        df = spark.createDataFrame(
+            [(0, "https://" + ".".join("abcdefgh") + ".spam.example/p")],
+            "doc_id long, url string")
+        assert flag_blocked(df, bl).first()["blocked"] is True
+
+    def test_broadcast_only_plan(self, spark, frames):
+        from dxnn_ocr_cpp_spark.operators.urls import flag_blocked
+        df, bl = frames
+        plan = flag_blocked(df, bl)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
