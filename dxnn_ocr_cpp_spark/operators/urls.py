@@ -99,7 +99,7 @@ def host_of(url_col):
 
 def flag_blocked(df: DataFrame, blocklist: DataFrame,
                  url_col: str = "url", out_col: str = "blocked",
-                 max_labels: int = 8) -> DataFrame:
+                 max_labels: int = 4) -> DataFrame:
     """Flag rows whose URL host is a blocklisted domain or a
     SUBDOMAIN of one (entry 'example.org' blocks 'example.org' and
     'a.b.example.org') — the URL-blocklist gate web pipelines apply
@@ -114,7 +114,8 @@ def flag_blocked(df: DataFrame, blocklist: DataFrame,
     last 1..max_labels labels), so a host with more labels than
     max_labels still matches any blocklist entry up to max_labels
     labels long — blocklist entries are registrable domains, rarely
-    over 4 labels.
+    over 4 labels (each extra label is one more broadcast join; raise
+    max_labels only for blocklists with deeper entries).
     """
     bcol = blocklist.columns[0]
     bl = blocklist.select(F.lower(F.col(bcol)).alias("_bl_dom")).distinct()
@@ -145,7 +146,7 @@ def flag_blocked(df: DataFrame, blocklist: DataFrame,
 
 def filter_blocklist(df: DataFrame, blocklist: DataFrame,
                      url_col: str = "url",
-                     max_labels: int = 8) -> DataFrame:
+                     max_labels: int = 4) -> DataFrame:
     """Drop rows whose URL host matches the blocklist (see
     flag_blocked); preserves the input schema."""
     return (flag_blocked(df, blocklist, url_col, "_blocked", max_labels)
