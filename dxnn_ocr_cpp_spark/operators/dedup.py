@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from dxnn_ocr_cpp_spark.operators.textstats import (exploded_hash_rows,
                                                     fingerprint)
+from dxnn_ocr_cpp_spark.partitioning import ensure_min_partitions
 
 # Java-regex \s class (what Spark's regexp_replace(\s+) matches) — NOT
 # Python's Unicode-aware \s; keeps tokenization bit-compatible with the
@@ -206,6 +207,62 @@ def minhash_signature(shingles_col, num_perm: int = 64,
     ])
 
 
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al. 2014, public
+    domain): full-avalanche 64-bit mixer; uint64 wrap-around is the
+    intended modular arithmetic."""
+    z = x + _SPLITMIX_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def word_shingles_and_minhash(text_col, n: int = 3, num_perm: int = 64):
+    """Shingle hashes AND the num_perm minhash signature in ONE Arrow
+    hop, as struct(sh array<long>, sig array<long>).
+
+    The column-level minhash_signature (64 higher-order `transform`
+    lambdas) is evaluated per element by Catalyst's interpreted lambda
+    machinery — measured ~2.5s at sf0.1 on local[32], dominating the
+    whole LSH query. Hash-family mixing is engine-specific by contract
+    (rows-only driver check; properties pinned in tests), so the
+    production family computes h_i(s) = splitmix64(s ^ seed_i) with the
+    whole batch's shingles flattened once and per-seed segment minima
+    via np.minimum.reduceat — no per-doc Python loop in the hot part.
+    Docs with no shingles (null text) get int64-max sentinel positions;
+    any bucket collision among them dies in the exact-Jaccard verify
+    (empty sets have jaccard 0)."""
+    seeds = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    out_t = T.StructType([
+        T.StructField("sh", T.ArrayType(T.LongType())),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def shingles_minhash(texts: pd.Series) -> pd.DataFrame:
+        per_doc = [_gram_hashes(s, n) for s in texts]
+        m = len(per_doc)
+        lens = np.fromiter((len(a) for a in per_doc), np.int64, m)
+        sigs = np.full((m, num_perm), np.iinfo(np.int64).max, np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [a for a in per_doc if len(a)]).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            rows = np.flatnonzero(nz)
+            for i, seed in enumerate(seeds):
+                mixed = _splitmix64(flat ^ seed).view(np.int64)
+                sigs[rows, i] = np.minimum.reduceat(mixed, starts)
+        return pd.DataFrame({"sh": per_doc, "sig": list(sigs)})
+
+    return shingles_minhash(text_col)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 64, bands: int = 16,
@@ -260,14 +317,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         n_docs = approx_docs if approx_docs is not None else df.count()
         carry = "ride_along" if n_docs <= ride_along_max_docs else "join_back"
     rows_per_band = num_perm // bands
+    # the 64-permutation signature build is the CPU-heavy stage and
+    # runs BEFORE the first exchange — widen a small-file scan so it
+    # isn't serialized on one core (no-op at cluster scale)
+    df = ensure_min_partitions(df)
     if hash_family == "md5":
+        # oracle-replayable family: string grams + md5 HOF signature
+        # (both DuckDB-expressible; this path certifies the pair-mining
+        # logic, speed is not its job)
         sh = df.select(F.col(id_col).alias("id"),
                        word_grams(F.col(text_col), n).alias("sh"))
+        sig = sh.withColumn(
+            "sig", minhash_signature(F.col("sh"), num_perm, hash_family))
     else:
-        sh = df.select(F.col(id_col).alias("id"),
-                       word_shingle_hashes(F.col(text_col), n).alias("sh"))
-    sig = sh.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_perm, hash_family))
+        # production family: fused shingle+signature Arrow kernel (the
+        # 64 interpreted HOF transforms were the query's hot spot)
+        both = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles_and_minhash(F.col(text_col), n, num_perm)
+            .alias("m"))
+        sig = both.select("id", F.col("m.sh").alias("sh"),
+                          F.col("m.sig").alias("sig"))
+        sh = sig.select("id", "sh")
 
     def _bucket(b: int):
         cols = [F.col("sig")[b * rows_per_band + r]
@@ -378,6 +449,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                          "(pieces = d+1 at >=8 bits each)")
     n_pieces = max_hamming + 1
     width = 64 // n_pieces  # remainder bits ride in the last piece
+    # signature kernel runs pre-exchange; parallelize small scans
+    df = ensure_min_partitions(df)
     s = df.select(F.col(id_col).alias("id"),
                   simhash64(F.col(text_col),
                             hash_family=hash_family).alias("sim"))

@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 LEN_BUCKET_EDGES = [1 << 10, 4 << 10, 16 << 10, 64 << 10, 256 << 10, 1 << 20, 8 << 20]
 
 
+def ensure_min_partitions(df):
+    """Widen an underpartitioned source to the session's default
+    parallelism. A small single-file parquet scan plans ONE input
+    split, which serializes any CPU-heavy per-row stage (signature
+    build, per-position hashing) on one core; at cluster scale inputs
+    already carry >= parallelism splits and this is a no-op — no extra
+    shuffle is ever added where one wouldn't pay for itself."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def with_len_bucket(df, html_col: str = "html", out_col: str = "len_bucket"):
     expr = F.lit(len(LEN_BUCKET_EDGES))
     for i in reversed(range(len(LEN_BUCKET_EDGES))):
