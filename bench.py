@@ -65,6 +65,18 @@ def _corpus_version() -> int:
     return CORPUS_VERSION
 
 
+def _package_code_digest() -> str:
+    """Digest of the engine's source files — cache key for anything
+    derived from extraction OUTPUT (total chars), which depends on the
+    code as much as on the corpus."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=8)
+    pkg = REPO / "dxnn_ocr_cpp_spark"
+    for p in sorted(pkg.rglob("*.py")):
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
 CORPUS_CACHE = os.environ.get(
     "SPARK_GRAFT_CORPUS_CACHE",
     f"/tmp/spark_graft_corpus/seed{SEED}_n{SCALE_DOCS}_v{_corpus_version()}")
@@ -169,13 +181,23 @@ def scaling_worker(cores: int, corpus: str) -> dict:
         # paying a second full extraction each.
         from pyspark.sql import functions as F
         chars_cache = pathlib.Path(corpus) / "_total_chars.json"
+        # the count is a property of (corpus, extraction code) — key it
+        # by a digest of the package source too, or a semantics change
+        # (e.g. normalize_text) would silently publish a stale CPS
+        code_key = _package_code_digest()
+        cached = None
         if chars_cache.exists():
-            total_chars = json.loads(chars_cache.read_text())["total_chars"]
+            cached = json.loads(chars_cache.read_text())
+            if cached.get("code") != code_key:
+                cached = None
+        if cached is not None:
+            total_chars = cached["total_chars"]
             _materialize(extract(docs.sample(fraction=0.15, seed=7)))
         else:
             total_chars = extract(docs).agg(
                 F.sum(F.length("text"))).collect()[0][0] or 0
-            chars_cache.write_text(json.dumps({"total_chars": total_chars}))
+            chars_cache.write_text(json.dumps(
+                {"total_chars": total_chars, "code": code_key}))
         wall = run()
         return {"cores": cores, "wall_sec": round(wall, 3),
                 "docs": n, "docs_per_sec": round(n / wall, 2),

@@ -63,7 +63,12 @@ def asof_join(probe: DataFrame, build: DataFrame, on, ts: str,
     b_struct = F.struct(
         F.col(ts).alias("asof_ts"), F.col(tie).alias("__tie"),
         *[F.col(c).alias(f"asof_{c}") for c in payload])
-    build_side = build.select(
+    # a build row with NULL event time can never satisfy "greatest ts
+    # <= probe.ts" (SQL comparison with NULL is never true, and
+    # merge_asof drops such rows) — but the window's nulls-first order
+    # would park it at the partition head where last(ignorenulls) could
+    # pick it. Exclude up front.
+    build_side = build.filter(F.col(ts).isNotNull()).select(
         *keys, F.col(ts).alias(_TS), F.lit(0).alias(_SIDE),
         b_struct.alias(_B),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c)

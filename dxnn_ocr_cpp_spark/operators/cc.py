@@ -118,7 +118,7 @@ def _driver_cc(edges: DataFrame, dtype: str) -> DataFrame:
 
 def connected_components(pairs: DataFrame, src: str, dst: str,
                          max_iter: int = 30,
-                         small_graph_edges: int = 1_000_000) -> DataFrame:
+                         small_graph_edges: int = 100_000) -> DataFrame:
     """(node, component) for every node in the pair graph; component =
     the minimum node id of the connected component (deterministic,
     partitioning-independent). Raises if max_iter rounds don't
@@ -126,9 +126,12 @@ def connected_components(pairs: DataFrame, src: str, dst: str,
     is not a pair graph but a bug.
 
     Edge sets at or below small_graph_edges take the driver union-find
-    fast path (_driver_cc; ~16 MB collect at the default) — identical
-    output, pinned by tests/test_cc.py. Set 0 to force the distributed
-    path.
+    fast path (_driver_cc) — identical output, pinned by
+    tests/test_cc.py. The default is sized for driver REALITY, not raw
+    edge bytes: collect() materializes ~100-200 B Row objects per edge
+    plus two up-to-2x-node-count dicts, so 100k edges is tens of MB on
+    the driver — comfortable; 1M+ would GC-thrash a modest driver. Set
+    0 to force the distributed path.
     """
     edges = (pairs.select(F.col(src).alias(_U), F.col(dst).alias(_V))
              .filter(F.col(_U) != F.col(_V)).distinct()

@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dxnn_ocr_cpp_spark.partitioning import ensure_min_partitions
+
 # expected chunk length (and the md5 family's fixed modulus): the md5
 # cut predicate tests 5 bits of the hex digest, so p is 32 there; the
 # xxhash64 family accepts any p
@@ -79,13 +81,9 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
             f"hash_family must be xxhash64|md5, got {hash_family}")
     if hash_family == "md5":
         p = MD5_P
-    # the per-position hashing is the CPU-heavy stage; a small-file
-    # scan arrives as 1-2 partitions and would run it single-threaded
-    # (measured 8.5s -> 0.6s at sf0.1 on local[32]). At real scale the
-    # scan already has >= parallelism partitions and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # the per-position hashing is the CPU-heavy stage (measured
+    # 8.5s -> 0.6s at sf0.1 on local[32] when widened)
+    df = ensure_min_partitions(df)
     t = F.col(text_col)
     n = F.length(t)
     # cut AFTER position i (1-based) iff the w-char window ENDING at i
@@ -122,22 +120,34 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     every cross-document duplicated chunk, n_copies = total
     occurrences corpus-wide.
 
-    Scale shape: ONE exchange (the window over chunk_key); distinct-
-    doc detection is min(id) != max(id) over the partition — no
-    count-distinct, no join back to a grouped table. Hot chunk keys
-    (a license header duplicated a million times) all land in one
-    partition; acceptable because rows are 4 small columns, but a
-    df-cap analog (filter n_copies <= cap downstream) is the guard if
-    a profile ever shows it.
+    Scale shape: ONE exchange (all three windows partition by
+    chunk_key, so they share it); the distinct-DOC count is a sum of
+    first-occurrence-within-doc flags — no count-distinct (unsupported
+    over windows), no collect_set (unbounded per-key state on a hot
+    license header), no join back to a grouped table. Hot chunk keys
+    all land in one partition; acceptable because rows are 4 small
+    columns, but a df-cap analog (filter n_copies <= cap downstream)
+    is the guard if a profile ever shows it.
     """
     ch = cdc_chunks(df, id_col, text_col, w, p, hash_family)
     win = Window.partitionBy("chunk_key")
-    out = (ch.withColumn("n_copies", F.count(F.lit(1)).over(win)
-                         .cast("long"))
-           .withColumn("_cross", F.min(id_col).over(win)
-                       != F.max(id_col).over(win))
-           .filter(F.col("_cross") & (F.col("n_copies") >= min_docs))
-           .drop("_cross"))
+    # min_docs counts DISTINCT documents (the docstring contract), not
+    # total occurrences: a chunk repeated twice inside one doc and once
+    # in another has n_copies=3 but spans only 2 docs. The distinct
+    # count is a sum of doc-boundary flags under an (id, start) sort —
+    # both windows partition by chunk_key alone, so the exchange stays
+    # shared (a (chunk_key, id)-partitioned window would force a
+    # second one)
+    by_doc = win.orderBy(id_col, "start")
+    out = (ch.withColumn("_new_doc",
+                         (F.lag(id_col).over(by_doc).isNull()
+                          | (F.lag(id_col).over(by_doc)
+                             != F.col(id_col))).cast("int"))
+           .withColumn("n_copies", F.count(F.lit(1)).over(win)
+                       .cast("long"))
+           .withColumn("_n_docs", F.sum("_new_doc").over(win))
+           .filter(F.col("_n_docs") >= min_docs)
+           .drop("_new_doc", "_n_docs"))
     return out.select(id_col, "start", "length", "n_copies")
 
 

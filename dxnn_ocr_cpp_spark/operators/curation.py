@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from dxnn_ocr_cpp_spark.operators.dedup import (word_grams,
                                                 word_shingle_hashes)
+from dxnn_ocr_cpp_spark.partitioning import ensure_min_partitions
 
 # ---------- PII redaction ----------
 
@@ -215,10 +216,7 @@ def _exploded_grams(df: DataFrame, id_col: str, text_col: str,
                 g = np.empty(0, np.int64) if is_hash else []
             yield pd.DataFrame({"id": np.repeat(ids, lens), "g": g})
 
-    src = df.select(id_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = ensure_min_partitions(df.select(id_col, text_col))
     return src.mapInPandas(
         gen, schema=f"id long, g {'long' if is_hash else 'string'}")
 
@@ -368,16 +366,22 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
     keyed = lines.withColumn("lkey", F.md5(F.trim(F.col("line"))))
     nonblank = keyed.filter(F.trim(F.col("line")) != "")
+    # resolve the boilerplate threshold FIRST: the df cap must never
+    # sit below it, or lines whose true df crosses the threshold would
+    # saturate at the cap and silently stop classifying as boilerplate
+    # (dead zone once threshold > cap — e.g. frac mode on a corpus
+    # where keep_frac_below * n_docs exceeds 100k)
+    if keep_frac_below is not None:
+        n_docs = df.select(F.count_distinct(F.col(id_col))).collect()[0][0]
+        threshold = float(keep_frac_below) * n_docs
+    else:
+        threshold = float(min_df)
+    cap = max(int(max_line_df_cap), int(threshold) + 1)
     dfreq = (nonblank.groupBy("lkey")
              .agg(F.least(
                  F.count_distinct(F.col(id_col)).cast("long"),
-                 F.lit(max_line_df_cap).cast("long")).alias("line_df")))
-    if keep_frac_below is not None:
-        n_docs = df.select(F.count_distinct(F.col(id_col))).collect()[0][0]
-        boiler = dfreq.filter(
-            F.col("line_df") >= F.lit(float(keep_frac_below) * n_docs))
-    else:
-        boiler = dfreq.filter(F.col("line_df") >= F.lit(min_df))
+                 F.lit(cap).cast("long")).alias("line_df")))
+    boiler = dfreq.filter(F.col("line_df") >= F.lit(threshold))
     classified = keyed.join(boiler.select("lkey"), "lkey", "left_anti")
     survivors = (classified
                  .groupBy(id_col)

@@ -76,12 +76,20 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
     deterministic function of the corpus.
     """
     tok = (df.select(F.explode(tokens_col(text_col)).alias("token")))
-    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
-    total = cnt.agg(F.sum("c")).collect()[0][0] or 0   # scalar only
-    vocab = (cnt.orderBy(F.desc("c"), F.asc("token"))
-             .limit(int(vocab_size)))
-    kept = vocab.count()                               # scalar only
-    return vocab, int(total), int(kept)
+    cnt = (tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+           .persist())  # one corpus token scan serves total AND top-V
+    try:
+        total = cnt.agg(F.sum("c")).collect()[0][0] or 0   # scalar only
+        # top-V is <= vocab_size rows — land it on the driver so the
+        # downstream broadcast join references literal data instead of
+        # re-running the corpus aggregation a third time
+        rows = (cnt.orderBy(F.desc("c"), F.asc("token"))
+                .limit(int(vocab_size)).collect())
+    finally:
+        cnt.unpersist()
+    vocab = df.sparkSession.createDataFrame(
+        [(r["token"], r["c"]) for r in rows], "token string, c long")
+    return vocab, int(total), len(rows)
 
 
 def score_documents(df: DataFrame, vocab: DataFrame, total_tokens: int,

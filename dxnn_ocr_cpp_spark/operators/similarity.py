@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dxnn_ocr_cpp_spark.partitioning import ensure_min_partitions
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -261,12 +263,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     if index is not None:
         indexed, _ = index
     else:
-        # cell assignment + Lloyd passes are the CPU-heavy stages; a
-        # small-file scan arrives as 1-2 partitions and would run
-        # them single-threaded (no-op at real scale)
-        par = emb.sparkSession.sparkContext.defaultParallelism
-        if emb.rdd.getNumPartitions() < par:
-            emb = emb.repartition(par)
+        # cell assignment + Lloyd passes are the CPU-heavy stages
+        emb = ensure_min_partitions(emb)
         indexed, _ = build_ivf(emb, n_lists=n_lists, iters=iters,
                                id_col=id_col, vec_col=vec_col,
                                sample_fraction=sample_fraction)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dxnn_ocr_cpp_spark.partitioning import ensure_min_partitions
+
 # small per-language stopword marker sets (n-gram heuristic lang-id).
 # Deliberately tiny + fixed: the point is the operator shape (vectorized
 # regexp counting + argmax), not linguistic accuracy.
@@ -165,14 +167,7 @@ def exploded_hash_rows(df: DataFrame, id_col: str, text_col: str,
                       if lens.sum() else np.empty(0, np.int64)),
             })
 
-    src = df.select(id_col, text_col)
-    # A small single-file parquet source plans ONE input split, which
-    # serializes the hash kernel on one core; widen it to the session's
-    # parallelism.  At cluster scale inputs already have >= par splits
-    # and this branch is a no-op (no extra shuffle).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = ensure_min_partitions(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema="id long, n int, g long")
 
 

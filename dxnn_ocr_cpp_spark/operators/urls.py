@@ -88,8 +88,12 @@ def oracle_url_sql(expr: str) -> str:
 
 # ---------- domain blocklist filtering ----------
 
-def host_of(url_col):
-    """Column: lowercase host of a URL (port/userinfo stripped)."""
+def authority_host(url_col):
+    """Column: lowercase host of a URL (port/userinfo stripped) via
+    the RFC authority grammar. Distinct from partitioning.host_of —
+    that one is the salt-plan/layout key ('^[a-z]+://([^/]+)/', keeps
+    port/userinfo, requires a path slash) and each has an oracle
+    pinning ITS semantics; don't swap them."""
     if isinstance(url_col, str):
         url_col = F.col(url_col)
     auth = F.lower(F.regexp_extract(url_col, AUTHORITY_RE, 1))
@@ -119,7 +123,7 @@ def flag_blocked(df: DataFrame, blocklist: DataFrame,
     """
     bcol = blocklist.columns[0]
     bl = blocklist.select(F.lower(F.col(bcol)).alias("_bl_dom")).distinct()
-    host = host_of(url_col)
+    host = authority_host(url_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     out = df.withColumn("_host_labels", labels)

@@ -64,6 +64,21 @@ class TestSemantics:
         assert m[12] is None    # 15 min old > 600 s: staled out
         assert m[20] is None
 
+    def test_null_ts_build_rows_never_match(self, spark):
+        """A build row with NULL event time can't be 'the most recent
+        at-or-before' anything (merge_asof and the LATERAL oracle both
+        exclude it); the nulls-first window order must not leak it in."""
+        build = spark.createDataFrame(
+            [(1, None, 500)], "k long, ts timestamp, snap_id long")
+        probe = spark.createDataFrame(
+            [(1, ts("2024-01-01T00:00:00"), 10)],
+            "k long, ts timestamp, label_id long")
+        out = asof_join(probe, build, on="k", ts="ts",
+                        payload=["snap_id"], tie="snap_id").collect()
+        assert len(out) == 1
+        assert out[0]["asof_snap_id"] is None
+        assert out[0]["asof_ts"] is None
+
     def test_asof_ts_column_and_clash_guard(self, frames):
         probe, build = frames
         out = asof_join(probe, build, on="k", ts="ts",

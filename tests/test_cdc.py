@@ -109,6 +109,24 @@ class TestDuplicateSpans:
         for sub, docs in by_text.items():
             assert len(docs) >= 2, f"span not cross-doc: {sub[:40]!r}"
 
+    def test_min_docs_counts_distinct_documents(self, spark):
+        """min_docs is a DISTINCT-document threshold: a span repeated
+        twice inside one doc plus once in another (3 total copies, 2
+        docs) must NOT satisfy min_docs=3."""
+        boiler = BOILER * 3  # long enough to chunk identically everywhere
+        rows = [(1, f"alpha intro {'x' * 40} " + boiler
+                    + " middle filler " + boiler + " tail one"),
+                (2, f"beta intro {'y' * 40} " + boiler + " tail two"),
+                (3, "gamma unrelated body " + "z" * 120)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        at2 = duplicate_spans(d, min_docs=2, hash_family="md5").collect()
+        assert {r["doc_id"] for r in at2} == {1, 2}
+        # every flagged chunk lives in exactly 2 docs -> min_docs=3 empty,
+        # even though the shared chunks have n_copies >= 3
+        assert max(r["n_copies"] for r in at2) >= 3
+        at3 = duplicate_spans(d, min_docs=3, hash_family="md5").collect()
+        assert at3 == []
+
     def test_single_exchange_no_python(self, spark, corpus):
         plan = duplicate_spans(corpus)._jdf.queryExecution() \
             .executedPlan().toString()
