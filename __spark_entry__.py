@@ -1108,6 +1108,39 @@ def q_recrawl_latest(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot corpus diff — the re-crawl delta that drives
+    incremental processing between Common-Crawl-style dumps. Two
+    snapshots are synthesized deterministically from documents: the
+    old one is missing doc_id % 11 == 3 (those become 'added'), the
+    new one is missing doc_id % 13 == 5 ('removed'), and doc_id % 7
+    == 0 pages carry revised text ('changed'). One full-outer shuffle
+    join over (url, md5-fingerprint) projections — the minimal exact
+    plan; both sides pre-shrink to two columns before the exchange."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.snapshots import snapshot_diff
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = d.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                 F.lit(".example.org/d"), i.cast("string")).alias("url"),
+        "text")
+    old = base.filter(F.col("doc_id") % 11 != 3).select("url", "text")
+    new = (base.filter(F.col("doc_id") % 13 != 5)
+           .select("url",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" [rev2]")))
+                   .otherwise(F.col("text")).alias("text")))
+    # absent-side fingerprints surface as '' (not NULL) so the value
+    # compare sorts cleanly in any engine
+    return (snapshot_diff(old, new)
+            .select("url", "status",
+                    F.coalesce("old_fp", F.lit("")).alias("old_fp"),
+                    F.coalesce("new_fp", F.lit("")).alias("new_fp"))
+            .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1163,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "lm_quality": q_lm_quality,
         "recrawl_latest": q_recrawl_latest,
+        "snapshot_diff": q_snapshot_diff,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2152,6 +2186,32 @@ ORACLES["recrawl_latest"] = """
     SELECT url, CAST(n_captures AS BIGINT) AS n_captures,
            cap_ts AS latest_ts, doc_id AS latest_doc
     FROM ranked WHERE rk = 1 ORDER BY url
+"""
+
+
+ORACLES["snapshot_diff"] = """
+    WITH base AS (
+      SELECT doc_id,
+             'https://h' || (doc_id % 5) || '.example.org/d'
+               || doc_id AS url,
+             text
+      FROM documents),
+    old AS (SELECT url, md5(text) AS old_fp
+            FROM base WHERE doc_id % 11 <> 3),
+    new AS (SELECT url,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                            ELSE text END) AS new_fp
+            FROM base WHERE doc_id % 13 <> 5)
+    SELECT coalesce(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(o.old_fp, '') AS old_fp,
+           coalesce(n.new_fp, '') AS new_fp
+    FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    ORDER BY 1
 """
 
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "pack_shards",
     "url_blocklist",
     "recrawl_latest",
+    "snapshot_diff",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Cross-snapshot corpus diff — the re-crawl delta.
+
+A web-scale corpus is re-crawled in snapshots (Common-Crawl monthly
+dumps); the first question against a new snapshot is "what actually
+changed?" — the delta drives incremental processing (only re-extract
+changed pages), storage (only store new content), and monitoring
+(sudden mass-removal or mass-churn is a crawl bug). recrawl_latest
+(__spark_entry__) collapses a capture HISTORY to the newest row; this
+operator compares two SNAPSHOTS row-for-row.
+
+Scale shape: each side is projected to (key, fingerprint) BEFORE the
+join — the full-outer shuffle carries two small columns per row, never
+the documents. One exchange per side, hash-partitioned on the key; no
+broadcast (both sides are corpus-sized), no window, no O(n^2) shape.
+At 10^12 documents this is the minimal possible plan for an exact
+diff. If both snapshots are written bucketed/partitioned by hash(url)
+(the Iceberg layout io.py mandates), the exchanges vanish entirely.
+
+Reference analog: the reference serves one request against one image
+and has no corpus notion; this is the corpus-lifecycle operation its
+batch analog needs. Fingerprint policy matches the dedup family
+(md5 of raw text — C6 canonical comparison key, textstats.fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  text_col: str = "text",
+                  fp_col: str | None = None) -> DataFrame:
+    """Per-key delta between two corpus snapshots.
+
+    Returns (key_col, status, old_fp, new_fp) with status:
+      added      key only in `new`
+      removed    key only in `old`
+      changed    key in both, fingerprints differ
+      unchanged  key in both, fingerprints equal
+
+    fp_col names a precomputed fingerprint column (skips hashing —
+    use when a content digest is already stored, e.g. WARC block
+    digests); otherwise the fingerprint is md5(text_col), with NULL
+    text fingerprinting to NULL (two NULL-text captures of the same
+    url compare as unchanged — null-safe equality, not SQL NULL
+    semantics, because "both empty" is not a content change).
+    """
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        fp = F.col(fp_col) if fp_col else F.md5(F.col(text_col))
+        return df.select(F.col(key_col).alias("k"),
+                         fp.alias(f"{alias}_fp"),
+                         F.lit(True).alias(f"in_{alias}"))
+
+    joined = side(old, "old").join(side(new, "new"), "k", "full_outer")
+    status = (F.when(F.col("in_old").isNull(), "added")
+              .when(F.col("in_new").isNull(), "removed")
+              .when(F.col("old_fp").eqNullSafe(F.col("new_fp")),
+                    "unchanged")
+              .otherwise("changed"))
+    return joined.select(F.col("k").alias(key_col),
+                         status.alias("status"), "old_fp", "new_fp")
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n) rollup of a snapshot_diff result — the monitoring
+    view (mass-removal/churn alarms). One partial-aggregated groupBy
+    over 4 distinct keys."""
+    return (diff.groupBy("status")
+            .agg(F.count("*").cast("long").alias("n")))

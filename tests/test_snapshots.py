@@ -1,0 +1,83 @@
+"""Cross-snapshot corpus diff: status semantics (added / removed /
+changed / unchanged, null-safe fingerprint equality), precomputed-
+fingerprint path, rollup, partitioning invariance, and the scale
+shape — the join input carries (key, fp) only and plans no
+broadcast-nested-loop/cartesian node.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.operators.snapshots import (diff_summary,
+                                                    snapshot_diff)
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = spark.createDataFrame(
+        [("u/keep", "same text"),
+         ("u/edit", "version one"),
+         ("u/gone", "dropped page"),
+         ("u/null", None)],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u/keep", "same text"),
+         ("u/edit", "version two"),
+         ("u/new", "fresh page"),
+         ("u/null", None)],
+        "url string, text string")
+    return old, new
+
+
+def status_map(df):
+    return {r["url"]: r["status"] for r in df.collect()}
+
+
+class TestSemantics:
+    def test_statuses(self, snaps):
+        old, new = snaps
+        m = status_map(snapshot_diff(old, new))
+        assert m == {"u/keep": "unchanged", "u/edit": "changed",
+                     "u/gone": "removed", "u/new": "added",
+                     "u/null": "unchanged"}  # both-null fp: no change
+
+    def test_fp_columns(self, snaps):
+        old, new = snaps
+        rows = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+        assert rows["u/new"]["old_fp"] is None
+        assert rows["u/gone"]["new_fp"] is None
+        assert rows["u/edit"]["old_fp"] != rows["u/edit"]["new_fp"]
+        assert rows["u/keep"]["old_fp"] == rows["u/keep"]["new_fp"]
+
+    def test_precomputed_fingerprint_column(self, spark):
+        old = spark.createDataFrame([("a", "fp1")], "url string, dg string")
+        new = spark.createDataFrame([("a", "fp2")], "url string, dg string")
+        m = status_map(snapshot_diff(old, new, fp_col="dg"))
+        assert m == {"a": "changed"}
+
+    def test_summary_rollup(self, snaps):
+        old, new = snaps
+        got = {r["status"]: r["n"]
+               for r in diff_summary(snapshot_diff(old, new)).collect()}
+        assert got == {"unchanged": 2, "changed": 1,
+                       "removed": 1, "added": 1}
+
+
+class TestScaleShape:
+    def test_partitioning_invariance(self, snaps):
+        old, new = snaps
+        a = sorted(map(tuple, snapshot_diff(
+            old.repartition(1), new.repartition(1)).collect()))
+        b = sorted(map(tuple, snapshot_diff(
+            old.repartition(7, "text"), new.repartition(3)).collect()))
+        assert a == b and a
+
+    def test_no_pathological_join_node(self, snaps):
+        old, new = snaps
+        plan = snapshot_diff(old, new)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert node not in plan
+        # the shuffled side must be the two-column projection, not the
+        # documents: no text column survives past the join input
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
