@@ -1108,6 +1108,53 @@ def q_recrawl_latest(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_lm_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus partition by self-perplexity:
+    score every doc under the self-trained unigram LM (the lm_quality
+    pipeline), then bucket by exact tercile cutoffs of the mean
+    log-prob — 'head' is the most fluent third CCNet trains on. The
+    cutoffs are ONE aggregation collecting two scalars, broadcast back
+    as literals; no corpus-wide window. DuckDB twin replays the LM end
+    to end plus quantile_cont at the same fractions (both engines
+    interpolate (n-1)*q over identical 4-dp inputs; cutoffs rounded to
+    6 dp on both sides)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.lm import (lm_quality,
+                                                 ppl_bucket_documents)
+    d = _t(spark, sf_dir, "documents")
+    scored = lm_quality(d, min_avg_logp=-3.41)
+    return (ppl_bucket_documents(scored)
+            .select("doc_id", "n_tokens", "avg_logp", "ppl_bucket")
+            .orderBy("doc_id"))
+
+
+def q_lang_spans(spark, sf_dir):
+    """Mixed-language document segmentation (textstats.lang_spans):
+    paragraphs language-id'd and merged into contiguous same-language
+    spans — the per-language routing step for interleaved pages.
+    Mixed docs are synthesized deterministically (every third doc gains
+    a German paragraph, every fourth a Spanish one) so the run-length
+    merge is actually exercised. ONE exchange: the (id, span_idx)
+    reassembly groupBy rides the window's id-hash partitioning. Full
+    DuckDB twin replays the split, marker scoring, run-length merge,
+    and span md5."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import lang_spans
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    de = "der die und ist nicht der die und ist nicht."
+    es = "el la los es una el la los es una."
+    mixed = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("\n\n" + de)).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("\n\n" + es)).otherwise(F.lit("")))
+    src = d.select("doc_id", mixed.alias("text"))
+    return (lang_spans(src)
+            .select("doc_id", "span_idx", "lang", "n_paras",
+                    F.md5("span_text").alias("span_md5"))
+            .orderBy("doc_id", "span_idx"))
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Cross-snapshot corpus diff — the re-crawl delta that drives
     incremental processing between Common-Crawl-style dumps. Two
@@ -1197,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "recrawl_latest": q_recrawl_latest,
         "snapshot_diff": q_snapshot_diff,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "lang_spans": q_lang_spans,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2188,6 +2237,107 @@ ORACLES["recrawl_latest"] = """
     FROM ranked WHERE rk = 1 ORDER BY url
 """
 
+
+ORACLES["lm_ppl_buckets"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    kept AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 512),
+    konst AS (SELECT CAST((SELECT sum(c) FROM cnt) AS DOUBLE)
+                     + CAST((SELECT count(*) FROM kept) AS DOUBLE)
+                     + 1.0 AS denom),
+    sc AS (
+      SELECT t.doc_id,
+             ln(coalesce(k.c, 0) + 1.0) - ln(konst.denom) AS lp
+      FROM tok t LEFT JOIN kept k USING (token) CROSS JOIN konst),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(lp), 4) AS avg_logp
+            FROM sc GROUP BY doc_id),
+    alldocs AS (
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             coalesce(a.avg_logp, 0.0) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+    cuts AS (
+      SELECT round(quantile_cont(avg_logp, 1.0/3.0), 6) AS c1,
+             round(quantile_cont(avg_logp, 2.0/3.0), 6) AS c2
+      FROM alldocs WHERE n_tokens > 0)
+    SELECT f.doc_id, f.n_tokens, f.avg_logp,
+           CASE WHEN f.n_tokens = 0 THEN 'empty'
+                WHEN f.avg_logp >= cuts.c2 THEN 'head'
+                WHEN f.avg_logp >= cuts.c1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM alldocs f CROSS JOIN cuts
+    ORDER BY f.doc_id
+"""
+
+ORACLES["lang_spans"] = """
+    WITH mixed AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  chr(10) || chr(10) ||
+                  'der die und ist nicht der die und ist nicht.'
+                ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN
+                  chr(10) || chr(10) ||
+                  'el la los es una el la los es una.'
+                ELSE '' END AS text
+      FROM documents),
+    pl AS (SELECT doc_id,
+                  string_split_regex(text, '\\n{2,}') AS paras
+           FROM mixed),
+    idx AS (SELECT doc_id, paras,
+                   unnest(range(1, len(paras) + 1)) AS k
+            FROM pl),
+    para AS (
+      SELECT doc_id, CAST(k AS INT) AS pos, paras[k] AS para
+      FROM idx WHERE trim(paras[k]) <> ''),
+    scored AS (
+      SELECT doc_id, pos, para,
+             len(regexp_extract_all(lower(para),
+                 '\\b(der|die|und|ist|nicht)\\b')) AS de,
+             len(regexp_extract_all(lower(para),
+                 '\\b(the|and|of|to|is)\\b')) AS en,
+             len(regexp_extract_all(lower(para),
+                 '\\b(el|la|los|es|una)\\b')) AS es,
+             len(regexp_extract_all(lower(para),
+                 '\\b(le|les|des|est|une)\\b')) AS fr
+      FROM para),
+    langed AS (
+      SELECT doc_id, pos, para,
+             CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                  WHEN de = greatest(de, en, es, fr) THEN 'de'
+                  WHEN en = greatest(de, en, es, fr) THEN 'en'
+                  WHEN es = greatest(de, en, es, fr) THEN 'es'
+                  ELSE 'fr' END AS lang
+      FROM scored),
+    runs AS (
+      SELECT doc_id, pos, para, lang,
+             CASE WHEN lag(lang) OVER w IS NULL
+                       OR lag(lang) OVER w <> lang
+                  THEN 1 ELSE 0 END AS new_run
+      FROM langed
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    spanned AS (
+      SELECT doc_id, pos, para, lang,
+             CAST(sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) - 1
+                  AS INT) AS span_idx
+      FROM runs)
+    SELECT doc_id, span_idx,
+           min(lang) AS lang,
+           CAST(count(*) AS INT) AS n_paras,
+           md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+             AS span_md5
+    FROM spanned
+    GROUP BY doc_id, span_idx
+    ORDER BY doc_id, span_idx
+"""
 
 ORACLES["snapshot_diff"] = """
     WITH base AS (

@@ -121,6 +121,8 @@ HEADLINE = [
     "url_blocklist",
     "recrawl_latest",
     "snapshot_diff",
+    "lm_ppl_buckets",
+    "lang_spans",
 ]
 
 

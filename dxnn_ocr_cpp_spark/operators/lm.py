@@ -132,3 +132,38 @@ def lm_quality(df: DataFrame, id_col: str = "doc_id",
     vocab, total, kept = train_unigram_lm(df, text_col, vocab_size)
     return score_documents(df, vocab, total, kept, id_col, text_col,
                            min_avg_logp)
+
+
+# CCNet partitions Common Crawl into head/middle/tail thirds by
+# document perplexity and trains preferentially on the head.
+PPL_BUCKET_FRACS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ppl_bucket_documents(scored: DataFrame, logp_col: str = "avg_logp",
+                         fracs: tuple = PPL_BUCKET_FRACS,
+                         round_to: int = 6) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition by self-perplexity.
+
+    Input is a score_documents/lm_quality result; output adds
+    ppl_bucket: 'head' (most fluent — HIGHEST mean log-prob = lowest
+    perplexity), 'middle', 'tail', or 'empty' (no tokens; CCNet drops
+    these upstream, we label rather than lose rows — F8 invariant).
+
+    Cutoffs are EXACT interpolated percentiles of logp over non-empty
+    docs: one aggregation job collecting two scalars, broadcast back
+    as literals — no window over the corpus, no second pass. Rounded
+    to round_to dp so the Spark/DuckDB boundary compares equal (both
+    engines interpolate at (n-1)*q over identical 4-dp inputs)."""
+    base = scored.filter(F.col("n_tokens") > 0)
+    row = base.agg(
+        F.round(F.percentile(F.col(logp_col), F.lit(float(fracs[0]))),
+                round_to).alias("c1"),
+        F.round(F.percentile(F.col(logp_col), F.lit(float(fracs[1]))),
+                round_to).alias("c2")).collect()[0]
+    c1 = row["c1"] if row["c1"] is not None else 0.0
+    c2 = row["c2"] if row["c2"] is not None else 0.0
+    bucket = (F.when(F.col("n_tokens") == 0, "empty")
+              .when(F.col(logp_col) >= F.lit(c2), "head")
+              .when(F.col(logp_col) >= F.lit(c1), "middle")
+              .otherwise("tail"))
+    return scored.withColumn("ppl_bucket", bucket)

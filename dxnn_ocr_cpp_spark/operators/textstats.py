@@ -77,6 +77,50 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def lang_spans(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Mixed-language document segmentation: split each document into
+    paragraphs (blank-line separated), language-id each with the
+    marker heuristic, and merge ADJACENT same-language paragraphs into
+    contiguous spans — the per-language routing step for corpora where
+    one page interleaves languages (navigation in one, content in
+    another, quoted passages in a third).
+
+    Returns (id_col, span_idx, lang, n_paras, span_text) with span_idx
+    0-based in reading order and span_text the paragraphs re-joined
+    with a single blank line. Blank paragraphs are dropped (layout,
+    not content); a doc whose every paragraph is blank emits no rows.
+
+    Scale shape: ONE exchange. The run-length merge is a lag +
+    running-sum window pair partitioned by id; the span reassembly
+    groupBy keys on (id, span_idx), and hash-partitioning on id alone
+    already clusters (id, span_idx), so Catalyst plans the aggregation
+    on the window's exchange without a second shuffle (pinned in
+    tests/test_langspans.py). All language scoring is Catalyst regex
+    counting — no Python anywhere."""
+    paras = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}"))
+        .alias("pos", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("lang", lang_id(F.col("para"))))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = (F.lag("lang").over(w).isNull()
+           | (F.lag("lang").over(w) != F.col("lang"))).cast("int")
+    spans = (paras.withColumn("span_idx",
+                              F.sum(run).over(w).cast("int") - 1)
+             .groupBy(id_col, "span_idx")
+             .agg(F.first("lang").alias("lang"),
+                  F.count(F.lit(1)).cast("int").alias("n_paras"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("pos", "para"))),
+                          lambda s: s["para"]),
+                      "\n\n").alias("span_text")))
+    return spans
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_tokens = token_count(text)

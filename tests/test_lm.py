@@ -85,3 +85,23 @@ def test_score_plan_broadcasts_vocab(spark, corpus):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ppl_buckets_terciles(spark):
+    """Head = most fluent third (highest avg_logp); empty docs are
+    labelled, never dropped; tercile sizes balance on distinct scores."""
+    from dxnn_ocr_cpp_spark.operators.lm import (lm_quality,
+                                                 ppl_bucket_documents)
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * i))
+            for i in range(1, 10)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ppl_bucket_documents(lm_quality(df)).collect()}
+    assert out[99]["ppl_bucket"] == "empty"
+    scored = [(i, out[i]["avg_logp"]) for i in range(1, 10)]
+    by_logp = sorted(scored, key=lambda t: t[1])
+    buckets = [out[i]["ppl_bucket"] for i, _ in by_logp]
+    # ascending logp must sweep tail -> middle -> head, in order
+    assert buckets == sorted(buckets, key=("tail", "middle", "head").index)
+    assert buckets[0] == "tail" and buckets[-1] == "head"
+    assert set(buckets) == {"tail", "middle", "head"}
