@@ -81,3 +81,30 @@ class TestScaleShape:
         # the shuffled side must be the two-column projection, not the
         # documents: no text column survives past the join input
         assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+class TestIncrementalRefresh:
+    def test_equals_full_recompute_and_only_churn_processed(self, spark):
+        from dxnn_ocr_cpp_spark.operators.snapshots import incremental_refresh
+
+        old = spark.createDataFrame(
+            [(f"u/{i}", f"text {i}") for i in range(10)],
+            "url string, text string")
+        # churn: u/3 changed, u/7 removed, u/10-11 added
+        new_rows = [(f"u/{i}", "text 3 v2" if i == 3 else f"text {i}")
+                    for i in range(10) if i != 7]
+        new_rows += [("u/10", "text 10"), ("u/11", "text 11")]
+        new = spark.createDataFrame(new_rows, "url string, text string")
+
+        seen = []
+
+        def process(docs):
+            seen.append(sorted(r["url"] for r in docs.select("url").collect()))
+            return docs.select("url", F.upper("text").alias("out"))
+
+        got = sorted(map(tuple, incremental_refresh(
+            old, new, process(old), process).collect()))
+        want = sorted(map(tuple, process(new).collect()))
+        assert got == want
+        # middle call is the refresh's: exactly the churn keys
+        assert seen[1] == ["u/10", "u/11", "u/3"]
