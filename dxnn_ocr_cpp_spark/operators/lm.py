@@ -151,9 +151,16 @@ def ppl_bucket_documents(scored: DataFrame, logp_col: str = "avg_logp",
 
     Cutoffs are EXACT interpolated percentiles of logp over non-empty
     docs: one aggregation job collecting two scalars, broadcast back
-    as literals — no window over the corpus, no second pass. Rounded
-    to round_to dp so the Spark/DuckDB boundary compares equal (both
-    engines interpolate at (n-1)*q over identical 4-dp inputs)."""
+    as literals — no window over the corpus. Rounded to round_to dp so
+    the Spark/DuckDB boundary compares equal (both engines interpolate
+    at (n-1)*q over identical 4-dp inputs).
+
+    Note the inherent two evaluations of `scored`: once under the
+    cutoff aggregation, once when the returned frame is consumed —
+    cutoffs are a function of the whole distribution, so no single
+    pass exists. At scale, persist (or checkpoint to a table) the
+    score_documents output before calling this; the synthetic-bench
+    path deliberately leaves it lazy rather than leak a cache."""
     base = scored.filter(F.col("n_tokens") > 0)
     row = base.agg(
         F.round(F.percentile(F.col(logp_col), F.lit(float(fracs[0]))),
