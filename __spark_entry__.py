@@ -2346,12 +2346,13 @@ ORACLES["snapshot_diff"] = """
                || doc_id AS url,
              text
       FROM documents),
-    old AS (SELECT url, md5(text) AS old_fp
-            FROM base WHERE doc_id % 11 <> 3),
+    old AS (SELECT url, max(md5(text)) AS old_fp
+            FROM base WHERE doc_id % 11 <> 3 GROUP BY url),
     new AS (SELECT url,
-                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-                            ELSE text END) AS new_fp
-            FROM base WHERE doc_id % 13 <> 5)
+                   max(md5(CASE WHEN doc_id % 7 = 0
+                                THEN text || ' [rev2]'
+                                ELSE text END)) AS new_fp
+            FROM base WHERE doc_id % 13 <> 5 GROUP BY url)
     SELECT coalesce(o.url, n.url) AS url,
            CASE WHEN o.url IS NULL THEN 'added'
                 WHEN n.url IS NULL THEN 'removed'

@@ -402,7 +402,11 @@ def stable_window_policy(ext: dict) -> dict:
     replace a stable 0.99, so the policy prefers by VALIDITY, never by
     magnitude."""
     import datetime
-    key = {"corpus": CORPUS_CACHE, "levels": list(SCALING_LEVELS)}
+    import platform
+    # keyed by engine-code digest + host so a cached window can never be
+    # republished for code it didn't measure or a machine it didn't run on
+    key = {"corpus": CORPUS_CACHE, "levels": list(SCALING_LEVELS),
+           "code": _package_code_digest(), "host": platform.node()}
     if not ext.get("host_window_unstable"):
         STABLE_CACHE.parent.mkdir(parents=True, exist_ok=True)
         STABLE_CACHE.write_text(json.dumps(

@@ -27,19 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-STATUSES = ("added", "removed", "changed", "unchanged")
-
-
 def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
                   text_col: str = "text",
                   fp_col: str | None = None) -> DataFrame:
     """Per-key delta between two corpus snapshots.
 
-    Returns (key_col, status, old_fp, new_fp) with status:
+    Returns exactly ONE row per key appearing on either side:
+    (key_col, status, old_fp, new_fp) with status:
       added      key only in `new`
       removed    key only in `old`
       changed    key in both, fingerprints differ
       unchanged  key in both, fingerprints equal
+
+    Duplicate captures of the same key WITHIN one snapshot (a real
+    Common-Crawl artifact) are collapsed before the join — each side
+    contributes max(fingerprint) per key (deterministic; NULLs lose to
+    any non-NULL) — so duplicates can never multiply rows through the
+    full-outer join. Callers who care which capture wins should
+    collapse history themselves first (recrawl_latest keeps the newest
+    by timestamp). The collapse rides the join's own hash exchange on
+    the key: partial-aggregated, zero extra shuffles.
 
     fp_col names a precomputed fingerprint column (skips hashing —
     use when a content digest is already stored, e.g. WARC block
@@ -50,9 +57,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
     """
     def side(df: DataFrame, alias: str) -> DataFrame:
         fp = F.col(fp_col) if fp_col else F.md5(F.col(text_col))
-        return df.select(F.col(key_col).alias("k"),
-                         fp.alias(f"{alias}_fp"),
-                         F.lit(True).alias(f"in_{alias}"))
+        return (df.select(F.col(key_col).alias("k"), fp.alias("fp"))
+                .groupBy("k")
+                .agg(F.max("fp").alias(f"{alias}_fp"),
+                     F.lit(True).alias(f"in_{alias}")))
 
     joined = side(old, "old").join(side(new, "new"), "k", "full_outer")
     status = (F.when(F.col("in_old").isNull(), "added")
@@ -92,7 +100,11 @@ def incremental_refresh(old_docs: DataFrame, new_docs: DataFrame,
     content-changed keys; persist the returned frame as the new
     snapshot's derived table (Iceberg MERGE copy-on-write analog).
     """
-    diff = snapshot_diff(old_docs, new_docs, key_col, text_col)
+    # persist the two-column (key, status) diff: both branches below
+    # consume it, and without the pin the corpus-sized full-outer join
+    # would execute once per branch when the union materializes
+    diff = (snapshot_diff(old_docs, new_docs, key_col, text_col)
+            .select(key_col, "status").persist())
     reuse_keys = (diff.filter(F.col("status") == "unchanged")
                   .select(F.col(key_col)))
     todo_keys = (diff.filter(F.col("status").isin("added", "changed"))

@@ -63,6 +63,48 @@ class TestSemantics:
                        "removed": 1, "added": 1}
 
 
+class TestDuplicateCaptures:
+    def test_one_row_per_key_despite_within_snapshot_dups(self, spark):
+        old = spark.createDataFrame(
+            [("u/dup", "aaa"), ("u/dup", "zzz"), ("u/solo", "s")],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u/dup", "zzz"), ("u/dup", "zzz"), ("u/solo", "s")],
+            "url string, text string")
+        rows = snapshot_diff(old, new).collect()
+        assert len(rows) == 2  # no row multiplication through the join
+        m = {r["url"]: r["status"] for r in rows}
+        # old side collapses to max(md5('aaa'), md5('zzz')), new to
+        # md5('zzz'); status is deterministic either way
+        assert m["u/solo"] == "unchanged"
+        assert m["u/dup"] in ("changed", "unchanged")
+
+    def test_null_fp_loses_to_non_null(self, spark):
+        old = spark.createDataFrame(
+            [("u/x", None), ("u/x", "real")], "url string, text string")
+        new = spark.createDataFrame(
+            [("u/x", "real")], "url string, text string")
+        [r] = snapshot_diff(old, new).collect()
+        assert r["status"] == "unchanged" and r["old_fp"] is not None
+
+    def test_refresh_output_unique_despite_dups(self, spark):
+        from dxnn_ocr_cpp_spark.operators.snapshots import (
+            incremental_refresh)
+        old = spark.createDataFrame(
+            [("u/a", "ta"), ("u/a", "ta"), ("u/b", "tb")],
+            "url string, text string")
+        new = spark.createDataFrame(
+            [("u/a", "ta"), ("u/b", "tb2")], "url string, text string")
+
+        def process(docs):
+            return docs.select("url", F.upper("text").alias("out")) \
+                .dropDuplicates(["url"])
+
+        got = sorted(map(tuple, incremental_refresh(
+            old, new, process(old), process).collect()))
+        assert got == [("u/a", "TA"), ("u/b", "TB2")]
+
+
 class TestScaleShape:
     def test_partitioning_invariance(self, snaps):
         old, new = snaps
