@@ -1188,6 +1188,88 @@ def q_snapshot_diff(spark, sf_dir):
             .orderBy("url"))
 
 
+def _linky_docs(spark, sf_dir):
+    """Deterministic HTML-with-anchors corpus for the link-graph
+    family: every doc links one partner host (absolute), every third
+    doc a CDN (protocol-relative), plus a relative link (self-host ->
+    dropped) and a fragment link (never harvested). The DuckDB twins
+    rebuild the identical strings."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    url = F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                   F.lit(".example.org/d"), sid)
+    html = F.concat(
+        F.lit('<html><body><a href="https://p'),
+        (i * 3 % 7).cast("string"),
+        F.lit('.partner.net/x'), sid, F.lit('">p</a>'),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("<a href='//cdn"), (i % 2).cast("string"),
+            F.lit(".assets.net/lib.js'>c</a>"))).otherwise(F.lit("")),
+        F.lit('<a href="/about">rel</a><a href="#top">frag</a>'),
+        F.lit("</body></html>"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark, sf_dir):
+    """Host-level link-graph construction (operators/linkgraph.py):
+    href harvest via regexp_extract_all (pure Catalyst, zero Python),
+    link policy (absolute / protocol-relative / relative), self-edge
+    drop, one partial-aggregated groupBy on (src_host, dst_host). The
+    DuckDB oracle replays the IDENTICAL HREF_RE pattern string."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.linkgraph import host_edges
+    return (host_edges(_linky_docs(spark, sf_dir))
+            .orderBy("src_host", "dst_host"))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the harvested host graph — the web-graph
+    quality prior (Common-Crawl publishes exactly this artifact as its
+    host-level ranks). 3 power-iteration rounds, damping 0.85,
+    dangling mass not redistributed (the SQL-replayable variant); the
+    DuckDB oracle unrolls the SAME 3 iterations as chained CTEs
+    (linkgraph.pagerank_oracle_sql), so value equality certifies the
+    distributed join+agg decomposition against a sequential replay."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.linkgraph import (host_edges,
+                                                        host_pagerank)
+    edges = host_edges(_linky_docs(spark, sf_dir))
+    return (host_pagerank(edges, damping=0.85, iters=3)
+            .select("host", F.round("rank", 6).alias("rank"))
+            .orderBy("host"))
+
+
+def q_dataset_mix(spark, sf_dir):
+    """Domain-weighted dataset mixing (operators/mixing.py): compose a
+    training corpus to TARGET shares (web 50 / code 30 / reference 20)
+    via feasibility-capped acceptance rates + deterministic md5
+    hash-threshold sampling (no RNG; the split_assign oracle family).
+    The DuckDB twin replays counts, the min(n_avail/share) feasibility
+    bound, the rate arithmetic in the same op order, and the md5
+    bucket compare bit-for-bit."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.mixing import mix_rates, mix_sample
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    docs = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 i.cast("string")).alias("url"),
+        F.when(i % 10 < 6, "web").when(i % 10 < 9, "code")
+        .otherwise("reference").alias("domain"),
+        "doc_id")
+    weights = spark.createDataFrame(
+        [("web", 0.5), ("code", 0.3), ("reference", 0.2)],
+        "domain string, weight double")
+    counts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    rates = mix_rates(counts, weights)
+    kept = mix_sample(docs, rates, hash_family="md5")
+    return (kept.groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_id"))
+            .orderBy("domain"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1246,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "lang_spans": q_lang_spans,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "dataset_mix": q_dataset_mix,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2363,6 +2448,110 @@ ORACLES["snapshot_diff"] = """
            coalesce(n.new_fp, '') AS new_fp
     FROM old o FULL OUTER JOIN new n ON o.url = n.url
     ORDER BY 1
+"""
+
+
+def _link_edges_sql() -> str:
+    """DuckDB query yielding the (u, v, w) host edge list of
+    q_link_graph's synthetic corpus — the IDENTICAL HREF_RE pattern
+    string and link policy as operators/linkgraph.host_edges. Shared
+    by the link_graph and host_pagerank oracles."""
+    from dxnn_ocr_cpp_spark.operators.linkgraph import HREF_RE
+    from dxnn_ocr_cpp_spark.operators.urls import AUTHORITY_RE
+    href = HREF_RE.replace("'", "''")
+    auth = AUTHORITY_RE
+
+    def host(expr: str) -> str:
+        return (f"string_split(string_split("
+                f"lower(regexp_extract({expr}, '{auth}', 1)), "
+                f"'@')[-1], ':')[1]")
+
+    return f"""
+    WITH docs AS (
+      SELECT 'https://h' || (doc_id % 5) || '.example.org/d' || doc_id
+               AS url,
+             '<html><body><a href="https://p' || (doc_id * 3 % 7)
+             || '.partner.net/x' || doc_id || '">p</a>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<a href=''//cdn' || (doc_id % 2)
+                       || '.assets.net/lib.js''>c</a>'
+                  ELSE '' END
+             || '<a href="/about">rel</a><a href="#top">frag</a>'
+             || '</body></html>' AS html
+      FROM documents),
+    harvested AS (
+      SELECT {host('url')} AS src_host,
+             unnest(regexp_extract_all(html, '{href}', 1)) AS link
+      FROM docs),
+    resolved AS (
+      SELECT src_host,
+             CASE WHEN regexp_matches(link, '^(?i)https?://')
+                    THEN {host('link')}
+                  WHEN link LIKE '//%'
+                    THEN {host("'http:' || link")}
+                  ELSE src_host END AS dst_host
+      FROM harvested)
+    SELECT src_host AS u, dst_host AS v,
+           CAST(count(*) AS BIGINT) AS w
+    FROM resolved
+    WHERE dst_host <> src_host AND dst_host <> '' AND src_host <> ''
+    GROUP BY 1, 2
+    """
+
+
+ORACLES["link_graph"] = f"""
+    SELECT u AS src_host, v AS dst_host, w AS n_links
+    FROM ({_link_edges_sql()})
+    ORDER BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.linkgraph import pagerank_oracle_sql
+    inner = pagerank_oracle_sql(f"SELECT * FROM ({_link_edges_sql()})",
+                                damping=0.85, iters=3)
+    return (f"SELECT host, round(rank, 6) AS rank FROM ({inner}) "
+            f"ORDER BY host")
+
+
+ORACLES["host_pagerank"] = _pagerank_oracle()
+
+# mirrors operators/mixing.py arithmetic IN THE SAME OP ORDER so the
+# doubles agree bit-for-bit: share = w / sum(w); feasible total =
+# min(n_avail / share); rate = (share * total) / n_avail; threshold =
+# floor(rate * 1e6); keep iff md5-60bit % 1e6 < threshold.
+ORACLES["dataset_mix"] = """
+    WITH docs AS (
+      SELECT 'https://example.com/doc/' || doc_id AS url,
+             CASE WHEN doc_id % 10 < 6 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'code'
+                  ELSE 'reference' END AS domain,
+             doc_id
+      FROM documents),
+    counts AS (SELECT domain, count(*) AS n FROM docs GROUP BY domain),
+    w AS (SELECT * FROM (VALUES ('web', 0.5), ('code', 0.3),
+                                ('reference', 0.2)) t(domain, weight)),
+    sh AS (SELECT domain,
+                  weight / (SELECT sum(weight) FROM w) AS share
+           FROM w),
+    j AS (SELECT coalesce(c.domain, s.domain) AS domain,
+                 coalesce(c.n, 0) AS n_avail,
+                 coalesce(s.share, 0.0) AS share
+          FROM counts c FULL OUTER JOIN sh s ON c.domain = s.domain),
+    t AS (SELECT min(n_avail / share) AS tt FROM j WHERE share > 0),
+    thr AS (SELECT domain,
+                   CAST(floor(CASE WHEN n_avail > 0
+                                THEN share * tt / n_avail
+                                ELSE 0.0 END * 1000000) AS BIGINT)
+                     AS thr
+            FROM j CROSS JOIN t),
+    kept AS (SELECT d.domain, d.doc_id
+             FROM docs d JOIN thr ON d.domain = thr.domain
+             WHERE CAST('0x' || substr(md5(d.url), 1, 15) AS BIGINT)
+                     % 1000000 < thr.thr)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM kept GROUP BY domain ORDER BY domain
 """
 
 

@@ -123,6 +123,9 @@ HEADLINE = [
     "snapshot_diff",
     "lm_ppl_buckets",
     "lang_spans",
+    "link_graph",
+    "host_pagerank",
+    "dataset_mix",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Link-graph construction + host PageRank: href harvest policy
+(absolute / protocol-relative / relative / fragment), self-edge drop,
+userinfo+port normalization, PageRank vs a sequential NumPy-free
+reference replay, partitioning invariance, and the scale shape (no
+Python hop in the harvest, no cartesian anywhere).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxnn_ocr_cpp_spark.operators.linkgraph import (host_edges,
+                                                    host_pagerank)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("https://a.com/p1",
+         '<a href="https://b.com/x">1</a>'
+         '<a href="https://b.com/y">2</a>'
+         "<a href='//c.com/z'>3</a>"
+         '<a href="/local">4</a><a href="#frag">5</a>'),
+        ("https://a.com/p2",
+         '<A HREF="https://user:pw@B.com:443/q">case+userinfo</A>'),
+        ("https://b.com/p1", '<a href="https://a.com/">back</a>'),
+        ("https://d.com/p1", "<p>no links at all</p>"),
+        ("https://a.com/p3", None),
+    ]
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+class TestHostEdges:
+    def test_policy_and_counts(self, docs):
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in host_edges(docs).collect()}
+        # a->b: two absolute from p1 + one case/userinfo/port from p2
+        assert got == {("a.com", "b.com"): 3,
+                       ("a.com", "c.com"): 1,
+                       ("b.com", "a.com"): 1}
+
+    def test_no_python_and_one_exchange(self, docs):
+        plan = host_edges(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # exactly the aggregation exchange (partial agg before it)
+        assert plan.count("Exchange") == 1
+
+    def test_partitioning_invariance(self, docs):
+        a = sorted(map(tuple, host_edges(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, host_edges(
+            docs.repartition(5, "html")).collect()))
+        assert a == b and a
+
+
+def _reference_pagerank(edges, damping, iters):
+    """Sequential dict replay of the module's exact semantics."""
+    hosts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(hosts)
+    out_w = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0.0) + w
+    rank = {h: 1.0 / n for h in hosts}
+    for _ in range(iters):
+        contrib = {h: 0.0 for h in hosts}
+        for u, v, w in edges:
+            contrib[v] += rank[u] * (w / out_w[u])
+        rank = {h: (1 - damping) / n + damping * contrib[h]
+                for h in hosts}
+    return rank
+
+
+class TestPageRank:
+    EDGES = [("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 1.0),
+             ("c", "a", 3.0), ("d", "a", 1.0)]  # d dangling-in only
+
+    def _spark_ranks(self, spark, iters=4):
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        return {r["host"]: r["rank"]
+                for r in host_pagerank(e, 0.85, iters).collect()}
+
+    def test_matches_sequential_reference(self, spark):
+        got = self._spark_ranks(spark)
+        want = _reference_pagerank(self.EDGES, 0.85, 4)
+        assert set(got) == set(want)
+        for h in want:
+            assert abs(got[h] - want[h]) < 1e-12, h
+
+    def test_hub_outranks_leaf(self, spark):
+        # 20 rounds: this near-bipartite graph oscillates at low
+        # iteration counts; dominance is a property of the converged
+        # ranks, so assert it near the fixed point
+        got = self._spark_ranks(spark, iters=20)
+        # every host points at a; a must rank highest, no-in-link d
+        # lowest
+        assert got["a"] == max(got.values())
+        assert got["d"] == min(got.values())
+
+    def test_no_cartesian_or_python(self, spark):
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        plan = host_pagerank(e, iters=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "ArrowEval", "BatchEvalPython"):
+            assert bad not in plan
