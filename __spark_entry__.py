@@ -1270,6 +1270,25 @@ def q_dataset_mix(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, Xie et al.
+    NeurIPS 2023): select the 40 raw documents whose hashed
+    unigram+bigram distribution best matches a target slice
+    (doc_id % 7 == 0), by per-doc sums of per-bucket log importance
+    ratios quantized to integer micro-nats — so the reduction is
+    exact integer arithmetic, order-independent, and the DuckDB twin
+    replays tokenization, bucket hashing (md5 family), add-one
+    smoothing, the round, and the integer sum bit-for-bit."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dsir import dsir_select
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    return (dsir_select(raw, target, k=40, n_buckets=4096,
+                        hash_family="md5")
+            .select("doc_id", "n_grams", "logw_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1331,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
         "dataset_mix": q_dataset_mix,
+        "dsir_select": q_dsir_select,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2552,6 +2572,55 @@ ORACLES["dataset_mix"] = """
     SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
     FROM kept GROUP BY domain ORDER BY domain
+"""
+
+# DSIR twin: same tokenization as lm_quality's oracle, unigrams+bigrams
+# WITH multiplicity, md5 bucket hashing (mixing-family '0x'||15-hex),
+# add-one smoothing with the SAME ln-term order as dsir.log_ratio_table,
+# micro-nat quantization, exact integer per-doc sums. Zero-gram raw docs
+# ride the final LEFT JOIN with logw 0 (Spark explode_outer analog).
+ORACLES["dsir_select"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents WHERE trim(text) <> ''),
+    grams AS (
+      SELECT doc_id, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS g
+      FROM tok WHERE len(w) >= 2),
+    buck AS (
+      SELECT doc_id, doc_id % 7 = 0 AS is_t,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096
+               AS bucket
+      FROM grams),
+    tc AS (SELECT bucket, count(*) AS c FROM buck WHERE is_t
+           GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS c FROM buck WHERE NOT is_t
+           GROUP BY bucket),
+    tot AS (SELECT CAST((SELECT coalesce(sum(c), 0) FROM tc) AS DOUBLE)
+                     AS tt,
+                   CAST((SELECT coalesce(sum(c), 0) FROM rc) AS DOUBLE)
+                     AS tr),
+    ratio AS (
+      SELECT rc.bucket,
+             CAST(round((ln(coalesce(tc.c, 0) + 1.0) - ln(tot.tt + 4096.0)
+                         - ln(rc.c + 1.0) + ln(tot.tr + 4096.0))
+                        * 1000000, 0) AS BIGINT) AS lr
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+    scored AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(r.lr) AS BIGINT) AS logw
+      FROM buck b JOIN ratio r USING (bucket)
+      WHERE NOT b.is_t GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.logw, 0) AS BIGINT) AS logw_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    WHERE d.doc_id % 7 <> 0
+    ORDER BY logw_micro DESC, d.doc_id LIMIT 40
 """
 
 
