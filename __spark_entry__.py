@@ -1270,6 +1270,40 @@ def q_dataset_mix(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (linkgraph.anchor_texts/top_anchors):
+    how the web DESCRIBES each host — per-destination-host anchor
+    labels, normalized (ws-collapse/trim/lower), self-links and empty
+    anchors dropped, top-3 per host by (n DESC, anchor ASC). The
+    DuckDB twin replays the IDENTICAL ANCHOR_RE pattern string, the
+    link policy, the normalization, and the window rank."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.linkgraph import (anchor_texts,
+                                                        top_anchors)
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    url = F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                   F.lit(".example.org/d"), sid)
+    label = (F.when(i % 4 == 0, F.lit("read more"))
+             .when(i % 4 == 1, F.lit("Click  HERE "))  # exercises norm
+             .when(i % 4 == 2, F.concat(F.lit("partner "),
+                                        (i * 3 % 7).cast("string")))
+             .otherwise(F.lit("home page")))
+    html = F.concat(
+        F.lit('<a href="https://p'), (i * 3 % 7).cast("string"),
+        F.lit(".partner.net/x"), sid, F.lit('">'), label, F.lit("</a>"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("<a href='//cdn"), (i % 2).cast("string"),
+            F.lit(".assets.net/l.js'> CDN  asset </a>")))
+         .otherwise(F.lit("")),
+        F.lit('<a href="/self">me</a><a href="#t">frag</a>'),
+        F.lit('<a href="https://p1.partner.net/y"></a>'))
+    docs = d.select(url.alias("url"), html.alias("html"))
+    return (top_anchors(anchor_texts(docs), k=3)
+            .orderBy("dst_host", "rk"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al.
     NeurIPS 2023): select the 40 raw documents whose hashed
@@ -1350,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "host_pagerank": q_host_pagerank,
         "dataset_mix": q_dataset_mix,
+        "anchor_texts": q_anchor_texts,
         "dsir_select": q_dsir_select,
         "extract_corpus": q_extract_corpus,
     }
@@ -2518,6 +2553,76 @@ def _link_edges_sql() -> str:
     GROUP BY 1, 2
     """
 
+
+def _anchor_oracle() -> str:
+    """DuckDB replay of q_anchor_texts: IDENTICAL ANCHOR_RE pattern
+    string, link policy, normalization, and window rank."""
+    from dxnn_ocr_cpp_spark.operators.linkgraph import ANCHOR_RE
+    from dxnn_ocr_cpp_spark.operators.urls import AUTHORITY_RE
+    anc = ANCHOR_RE.replace("'", "''")
+    auth = AUTHORITY_RE
+
+    def host(expr: str) -> str:
+        return (f"string_split(string_split("
+                f"lower(regexp_extract({expr}, '{auth}', 1)), "
+                f"'@')[-1], ':')[1]")
+
+    return f"""
+    WITH docs AS (
+      SELECT 'https://h' || (doc_id % 5) || '.example.org/d' || doc_id
+               AS url,
+             '<a href="https://p' || (doc_id * 3 % 7)
+             || '.partner.net/x' || doc_id || '">'
+             || CASE WHEN doc_id % 4 = 0 THEN 'read more'
+                     WHEN doc_id % 4 = 1 THEN 'Click  HERE '
+                     WHEN doc_id % 4 = 2
+                       THEN 'partner ' || (doc_id * 3 % 7)
+                     ELSE 'home page' END
+             || '</a>'
+             || CASE WHEN doc_id % 3 = 0
+                  THEN '<a href=''//cdn' || (doc_id % 2)
+                       || '.assets.net/l.js''> CDN  asset </a>'
+                  ELSE '' END
+             || '<a href="/self">me</a><a href="#t">frag</a>'
+             || '<a href="https://p1.partner.net/y"></a>' AS html
+      FROM documents),
+    harvested AS (
+      SELECT {host('url')} AS src_host,
+             unnest(regexp_extract_all(html, '{anc}', 0)) AS el
+      FROM docs),
+    parsed AS (
+      SELECT src_host,
+             regexp_extract(el, '{anc}', 1) AS link,
+             lower(trim(regexp_replace(
+               regexp_extract(el, '{anc}', 2), '\\s+', ' ', 'g')))
+               AS anchor
+      FROM harvested),
+    resolved AS (
+      SELECT src_host, anchor,
+             CASE WHEN regexp_matches(link, '^(?i)https?://')
+                    THEN {host('link')}
+                  WHEN link LIKE '//%'
+                    THEN {host("'http:' || link")}
+                  ELSE src_host END AS dst_host
+      FROM parsed),
+    agg AS (
+      SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+      FROM resolved
+      WHERE dst_host <> src_host AND dst_host <> ''
+            AND src_host <> '' AND anchor <> ''
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT dst_host, anchor, n,
+             CAST(row_number() OVER (PARTITION BY dst_host
+                                     ORDER BY n DESC, anchor)
+                  AS BIGINT) AS rk
+      FROM agg)
+    SELECT dst_host, anchor, n, rk FROM ranked WHERE rk <= 3
+    ORDER BY dst_host, rk
+    """
+
+
+ORACLES["anchor_texts"] = _anchor_oracle()
 
 ORACLES["link_graph"] = f"""
     SELECT u AS src_host, v AS dst_host, w AS n_links

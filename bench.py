@@ -126,6 +126,7 @@ HEADLINE = [
     "link_graph",
     "host_pagerank",
     "dataset_mix",
+    "anchor_texts",
     "dsir_select",
 ]
 

@@ -90,6 +90,70 @@ def host_edges(docs: DataFrame, url_col: str = "url",
             .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
 
 
+# full <a ...>text</a> element with a PLAIN-TEXT body: group 1 = href,
+# group 2 = anchor text. [^<]* bodies only — anchors wrapping nested
+# markup are skipped by policy (their text belongs to the inner
+# elements; harvesting it would double-count against extraction).
+# Same Java/RE2 common regex subset as HREF_RE so the DuckDB oracle
+# replays the IDENTICAL pattern string.
+ANCHOR_RE = (r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
+             r"""[^>]*>([^<]*)</a>""")
+
+
+def anchor_texts(docs: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(dst_host, anchor, n) — how the web DESCRIBES each host: the
+    classic anchor-text signal (used for search relevance and as a
+    crawl/quality prior; the link-graph twin of host_edges carrying
+    the human-readable labels instead of counts).
+
+    Anchor normalization: whitespace-collapse + trim + lower; empty
+    anchors and self-links are dropped (same cross-site-endorsement
+    policy as host_edges — a site's own labels for itself are
+    navigation, not description).
+
+    Scale shape: harvest is pure Catalyst (regexp_extract_all of FULL
+    anchor elements, explode, two per-element regexp_extract calls —
+    no Python hop); the shuffle carries (host, short-anchor) string
+    pairs, never the HTML; ONE partial-aggregated groupBy.
+    """
+    src_host = F.element_at(
+        F.split(F.element_at(
+            F.split(F.lower(F.regexp_extract(F.col(url_col),
+                                             AUTHORITY_RE, 1)),
+                    "@"), -1), ":"), 1)
+    el = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0)))
+    link = F.regexp_extract(F.col("_el"), ANCHOR_RE, 1)
+    anchor = F.lower(F.trim(F.regexp_replace(
+        F.regexp_extract(F.col("_el"), ANCHOR_RE, 2), r"\s+", " ")))
+    dst = _host_of_link(link, F.col("_src_host"))
+    return (docs
+            .select(src_host.alias("_src_host"), el.alias("_el"))
+            .select("_src_host", dst.alias("_dst_host"),
+                    anchor.alias("anchor"))
+            .filter((F.col("_dst_host") != F.col("_src_host"))
+                    & (F.col("_dst_host") != "")
+                    & (F.col("_src_host") != "")
+                    & (F.col("anchor") != ""))
+            .groupBy(F.col("_dst_host").alias("dst_host"), "anchor")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def top_anchors(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k anchor labels per destination host by (n DESC, anchor
+    ASC) — deterministic under count ties. One window partitioned by
+    dst_host (a second exchange after anchor_texts' (host, anchor)
+    groupBy; hosts are plentiful so the partition is never hot)."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("dst_host")
+         .orderBy(F.desc("n"), F.asc("anchor")))
+    return (anchors.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= int(k))
+            .select("dst_host", "anchor", "n",
+                    F.col("rk").cast("long").alias("rk")))
+
+
 def host_pagerank(edges: DataFrame, damping: float = 0.85,
                   iters: int = 3, weight_col: str = "n_links") -> DataFrame:
     """(host, rank) after `iters` rounds of weighted PageRank over a

@@ -105,3 +105,54 @@ class TestPageRank:
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                     "ArrowEval", "BatchEvalPython"):
             assert bad not in plan
+
+
+class TestAnchorTexts:
+    @pytest.fixture(scope="class")
+    def adocs(self, spark):
+        rows = [
+            ("https://a.com/p1",
+             '<a href="https://b.com/x">  Great   SITE </a>'
+             '<a href="https://b.com/y">great site</a>'
+             '<a href="https://b.com/z">docs</a>'
+             '<a href="https://c.com/w">docs</a>'),
+            ("https://a.com/p2",
+             # nested markup body: skipped by the [^<]* policy
+             '<a href="https://b.com/n"><b>bold</b></a>'
+             # empty body: dropped
+             '<a href="https://b.com/e"></a>'
+             # self-link: dropped
+             '<a href="https://a.com/s">me</a>'
+             # fragment: never harvested
+             '<a href="#top">frag</a>'
+             '<a href="https://b.com/x2">great site</a>'),
+            ("https://d.com/p1", None),
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_normalization_and_policy(self, adocs):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import anchor_texts
+        got = {(r["dst_host"], r["anchor"]): r["n"]
+               for r in anchor_texts(adocs).collect()}
+        # ws-collapse + trim + lower folds all three 'great site's
+        assert got == {("b.com", "great site"): 3,
+                       ("b.com", "docs"): 1,
+                       ("c.com", "docs"): 1}
+
+    def test_top_k_deterministic_on_ties(self, spark):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import top_anchors
+        anchors = spark.createDataFrame(
+            [("h.com", "zeta", 2), ("h.com", "alpha", 2),
+             ("h.com", "mid", 1), ("h.com", "low", 1)],
+            "dst_host string, anchor string, n long")
+        got = [(r["anchor"], r["rk"])
+               for r in top_anchors(anchors, k=3)
+               .orderBy("rk").collect()]
+        assert got == [("alpha", 1), ("zeta", 2), ("low", 3)]
+
+    def test_pure_catalyst_no_python(self, adocs):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import anchor_texts
+        plan = anchor_texts(adocs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
