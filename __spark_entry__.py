@@ -1270,6 +1270,36 @@ def q_dataset_mix(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.py, Sennrich
+    et al. 2016): word-count table (one corpus groupBy), then per
+    merge round an explode+groupBy pair count, a ONE-row TakeOrdered
+    argmax, and a pure-Catalyst aggregate() fold rewrite. Iterative
+    argmax is not SQL-expressible — rows-only by design; exact parity
+    with a sequential pure-Python reference (merge list AND final
+    segmentations) is pinned in tests/test_bpe.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.bpe import merges_df, train_bpe
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = train_bpe(d, n_merges=10)
+    return merges_df(spark, merges).orderBy("merge_idx")
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE corpus segmentation under the trained vocabulary
+    (bpe.bpe_segment): per-doc word/BPE-token counts via one
+    word-table equi-join with character fallback for OOV words.
+    Rows-only (depends on the iteratively-trained vocab); join-path
+    + OOV semantics pinned in tests/test_bpe.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.bpe import bpe_segment, train_bpe
+    d = _t(spark, sf_dir, "documents")
+    _, words = train_bpe(d, n_merges=10)
+    return (bpe_segment(d, words)
+            .select("doc_id", "n_words", "n_tokens")
+            .orderBy("doc_id"))
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text aggregation (linkgraph.anchor_texts/top_anchors):
     how the web DESCRIBES each host — per-destination-host anchor
@@ -1386,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "anchor_texts": q_anchor_texts,
         "dsir_select": q_dsir_select,
+        "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2735,4 +2767,7 @@ def oracle_sql() -> dict[str, str]:
     # omitted: probabilistic candidate sets whose hash mixing DuckDB
     # cannot replay -> driver rows-only check; each has an md5-family
     # oracled twin and/or an internal exact-verify + pytest recall pin.
+    # bpe_train / bpe_tokenize are likewise rows-only: BPE's iterative
+    # argmax is not SQL-expressible; exact parity with a sequential
+    # pure-Python reference is pinned in tests/test_bpe.py.
     return dict(ORACLES)
