@@ -1270,6 +1270,40 @@ def q_dataset_mix(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_robots_gate(spark, sf_dir):
+    """Robots-style URL rule gate (urls.robots_gate, RFC 9309
+    simplified): per-host allow/disallow path-prefix rules, longest
+    match wins, allow wins ties, no-rule hosts pass. Corpus side is
+    ONE 1:1 broadcast join on host (rules pre-aggregated to structs)
+    + array-HOF resolution — zero corpus shuffle. The DuckDB twin
+    resolves the same rules RELATIONALLY (join + row_number argmax),
+    certifying the HOF decomposition against a relational replay."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import robots_gate
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    path = (F.when(i % 5 == 0, F.concat(F.lit("/private/pub/x"), sid))
+            .when(i % 5 == 1, F.concat(F.lit("/private/x"), sid))
+            .when(i % 5 == 2, F.concat(F.lit("/p/x"), sid))
+            .when(i % 5 == 3, F.lit(""))      # empty path -> '/'
+            .otherwise(F.concat(F.lit("/docs/x"), sid)))
+    url2 = F.concat(F.lit("https://h"), (i % 4).cast("string"),
+                    F.lit(".example.org"), path)
+    rules = spark.createDataFrame(
+        [("h0.example.org", "/", True),
+         ("h0.example.org", "/private", False),
+         ("h0.example.org", "/private/pub", True),
+         ("h1.example.org", "/p", False),
+         ("h1.example.org", "/p", True),       # length tie -> allow
+         ("h2.example.org", "/docs", False)],
+        "host string, prefix string, allow boolean")
+    return (robots_gate(d.select("doc_id", url2.alias("url2")), rules,
+                        url_col="url2")
+            .select("doc_id", "url2", "allowed")
+            .orderBy("doc_id"))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary training (operators/bpe.py, Sennrich
     et al. 2016): word-count table (one corpus groupBy), then per
@@ -1344,12 +1378,18 @@ def q_dsir_select(spark, sf_dir):
     replays tokenization, bucket hashing (md5 family), add-one
     smoothing, the round, and the integer sum bit-for-bit."""
     _prep(spark)
-    from dxnn_ocr_cpp_spark.operators.dsir import dsir_select
+    from dxnn_ocr_cpp_spark.operators.dsir import (fit_log_ratios,
+                                                   importance_scores)
     d = _t(spark, sf_dir, "documents")
-    target = d.filter(F.col("doc_id") % 7 == 0)
+    # target lives in the same table under a flag -> the fused
+    # one-pass fit (2 corpus scans total instead of 3)
+    ratio = fit_log_ratios(
+        d.withColumn("is_target", F.col("doc_id") % 7 == 0),
+        n_buckets=4096, hash_family="md5")
     raw = d.filter(F.col("doc_id") % 7 != 0)
-    return (dsir_select(raw, target, k=40, n_buckets=4096,
-                        hash_family="md5")
+    return (importance_scores(raw, ratio, n_buckets=4096,
+                              hash_family="md5")
+            .orderBy(F.desc("logw_micro"), F.asc("doc_id")).limit(40)
             .select("doc_id", "n_grams", "logw_micro"))
 
 
@@ -1416,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "anchor_texts": q_anchor_texts,
         "dsir_select": q_dsir_select,
+        "robots_gate": q_robots_gate,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "extract_corpus": q_extract_corpus,
@@ -2655,6 +2696,52 @@ def _anchor_oracle() -> str:
 
 
 ORACLES["anchor_texts"] = _anchor_oracle()
+
+
+def _robots_oracle() -> str:
+    """Relational replay of q_robots_gate: join + row_number argmax
+    over (length DESC, allow DESC) — TRUE sorts above FALSE, the same
+    tie-break as the Spark side's struct array_max."""
+    from dxnn_ocr_cpp_spark.operators.urls import AUTHORITY_RE, PATH_RE
+    host = ("string_split(string_split(lower(regexp_extract(url2, "
+            f"'{AUTHORITY_RE}', 1)), '@')[-1], ':')[1]")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             'https://h' || (doc_id % 4) || '.example.org' ||
+             CASE WHEN doc_id % 5 = 0 THEN '/private/pub/x' || doc_id
+                  WHEN doc_id % 5 = 1 THEN '/private/x' || doc_id
+                  WHEN doc_id % 5 = 2 THEN '/p/x' || doc_id
+                  WHEN doc_id % 5 = 3 THEN ''
+                  ELSE '/docs/x' || doc_id END AS url2
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, url2, {host} AS host,
+             CASE WHEN regexp_extract(url2, '{PATH_RE}', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url2, '{PATH_RE}', 1) END AS path
+      FROM docs),
+    rules AS (SELECT * FROM (VALUES
+      ('h0.example.org', '/', TRUE),
+      ('h0.example.org', '/private', FALSE),
+      ('h0.example.org', '/private/pub', TRUE),
+      ('h1.example.org', '/p', FALSE),
+      ('h1.example.org', '/p', TRUE),
+      ('h2.example.org', '/docs', FALSE)) t(host, prefix, allow)),
+    m AS (
+      SELECT p.doc_id, r.allow,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY length(r.prefix) DESC,
+                                         r.allow DESC) AS rk
+      FROM parsed p JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.prefix))
+    SELECT d.doc_id, d.url2, coalesce(m.allow, TRUE) AS allowed
+    FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id AND m.rk = 1
+    ORDER BY d.doc_id
+    """
+
+
+ORACLES["robots_gate"] = _robots_oracle()
 
 ORACLES["link_graph"] = f"""
     SELECT u AS src_host, v AS dst_host, w AS n_links

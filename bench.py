@@ -128,6 +128,7 @@ HEADLINE = [
     "dataset_mix",
     "anchor_texts",
     "dsir_select",
+    "robots_gate",
     "bpe_train",
 ]
 

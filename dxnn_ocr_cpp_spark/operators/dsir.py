@@ -64,6 +64,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import ensure_min_partitions
 from .lm import tokens_col
 
 DEFAULT_BUCKETS = 4096
@@ -91,22 +92,29 @@ def gram_array(text_col: str = "text", gram_ns: tuple = (1, 2)):
     contributes no n-grams of that order; '' -> empty array."""
     w = tokens_col(text_col)
 
-    def _gram_at(order):
-        # one-arg lambda: transform() would feed the element INDEX to a
-        # second parameter, clobbering a default-arg order capture
-        return lambda i: F.concat_ws(
-            " ", *[F.get(w, i + j - 1) for j in range(order)])
+    def _zip_grams(base, order):
+        # n-grams via chained zip_with against shifted slices: lambda
+        # variables BIND the elements, so the token-array expression is
+        # evaluated a constant number of times per row. The tempting
+        # transform(sequence(...), i -> get(w, i)) shape re-evaluates
+        # the whole tokenization PER ELEMENT (O(words^2) per doc —
+        # measured 17s -> 3s at sf0.1 when replaced); same trap class
+        # as dedup.word_grams' documented slice cost.
+        g = base
+        for j in range(1, order):
+            nxt = F.slice(base, j + 1,
+                          F.greatest(F.size(base) - j, F.lit(0)))
+            g = F.zip_with(
+                g, nxt,
+                lambda a, b: F.when(a.isNull() | b.isNull(), None)
+                .otherwise(F.concat(a, F.lit(" "), b)))
+        return F.filter(g, lambda x: x.isNotNull())
 
     parts = []
     for n in sorted(gram_ns):
-        if n == 1:
-            g = w
-        else:
-            g = F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)), _gram_at(n))
-        # sequence(1, 0) would count DOWN — guard short docs per order
-        parts.append(F.when(F.size(w) >= n, g)
-                     .otherwise(F.array().cast("array<string>")))
+        # zip_with pads the shorter side with null -> the null-guarded
+        # lambda + filter drop the tail, so short docs need no guard
+        parts.append(w if n == 1 else _zip_grams(w, n))
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)
@@ -121,7 +129,10 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
     sufficient statistic for one side's multinomial. One explode +
     one partial-aggregated groupBy; shuffle rows <= n_buckets per
     map partition."""
-    g = df.select(F.explode(gram_array(text_col, gram_ns)).alias("g"))
+    # gram explode + hashing is the CPU-heavy stage; widen a 1-split
+    # small-file scan (no-op at real scale — cdc.py discipline)
+    g = (ensure_min_partitions(df)
+         .select(F.explode(gram_array(text_col, gram_ns)).alias("g")))
     return (g.select(_bucket_of(F.col("g"), n_buckets, hash_family)
                      .alias("bucket"))
             .groupBy("bucket")
@@ -153,6 +164,50 @@ def log_ratio_table(target_counts: DataFrame, raw_counts: DataFrame,
                     F.round(lr * MICRO, 0).cast("long").alias("lr_micro")))
 
 
+def fit_log_ratios(docs: DataFrame, is_target_col: str = "is_target",
+                   text_col: str = "text",
+                   n_buckets: int = DEFAULT_BUCKETS,
+                   gram_ns: tuple = (1, 2),
+                   hash_family: str = "md5") -> DataFrame:
+    """(bucket, lr_micro) fitted from ONE corpus pass when target and
+    raw live in the same table under a boolean flag column — the
+    common self-referential setup (target = a labelled slice of the
+    crawl). Halves the corpus scans vs bucket_counts twice; use the
+    two-DataFrame bucket_counts + log_ratio_table pair when the
+    target is a genuinely separate corpus (wiki/books).
+
+    The fused (bucket, c_target, c_raw) table is <=n_buckets rows and
+    lands on the driver (the lm.py vocab discipline), so computing
+    totals and the ratio never re-triggers the corpus aggregation;
+    the ln/round arithmetic runs as the SAME Spark expressions as
+    log_ratio_table, in the same op order, over literal data."""
+    t = F.col(is_target_col)
+    g = (ensure_min_partitions(docs)
+         .select(t.alias("_t"),
+                 F.explode(gram_array(text_col, gram_ns)).alias("g")))
+    fused = (g.select("_t",
+                      _bucket_of(F.col("g"), n_buckets, hash_family)
+                      .alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.sum(F.when(F.col("_t"), 1).otherwise(0))
+                  .cast("long").alias("ct"),
+                  F.sum(F.when(~F.col("_t"), 1).otherwise(0))
+                  .cast("long").alias("cr")))
+    rows = fused.collect()                    # <= n_buckets tiny rows
+    tt = float(sum(r["ct"] for r in rows))
+    tr = float(sum(r["cr"] for r in rows))
+    lit = docs.sparkSession.createDataFrame(
+        [(r["bucket"], r["ct"], r["cr"]) for r in rows if r["cr"] > 0],
+        "bucket long, _ct long, c long")
+    lr = (F.log((F.col("_ct") + 1).cast("double"))
+          - F.log(F.lit(tt + n_buckets))
+          - F.log((F.col("c") + 1).cast("double"))
+          + F.log(F.lit(tr + n_buckets)))
+    return lit.select("bucket",
+                      F.round(lr * MICRO, 0).cast("long")
+                      .alias("lr_micro"))
+
+
 def importance_scores(raw: DataFrame, ratio: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       n_buckets: int = DEFAULT_BUCKETS,
@@ -165,9 +220,9 @@ def importance_scores(raw: DataFrame, ratio: DataFrame,
     -> logw_micro 0, n_grams 0 — the F8 empty-row invariant, same
     shape as lm.score_documents); the ratio join is a broadcast of
     <=n_buckets rows; the only corpus exchange is the per-doc fan-in."""
-    g = raw.select(id_col,
-                   F.explode_outer(gram_array(text_col, gram_ns))
-                   .alias("g"))
+    g = ensure_min_partitions(raw).select(
+        id_col,
+        F.explode_outer(gram_array(text_col, gram_ns)).alias("g"))
     b = g.select(id_col,
                  F.when(F.col("g").isNotNull(),
                         _bucket_of(F.col("g"), n_buckets, hash_family))

@@ -155,3 +155,52 @@ def filter_blocklist(df: DataFrame, blocklist: DataFrame,
     flag_blocked); preserves the input schema."""
     return (flag_blocked(df, blocklist, url_col, "_blocked", max_labels)
             .filter(~F.col("_blocked")).drop("_blocked"))
+
+
+# ---------- robots-style URL rule gate (RFC 9309 simplified) ----------
+
+def robots_gate(df: DataFrame, rules: DataFrame,
+                url_col: str = "url",
+                out_col: str = "allowed") -> DataFrame:
+    """Crawl-politeness gate: decide each URL against per-host
+    allow/disallow PATH-PREFIX rules with robots-exclusion semantics
+    (RFC 9309, literal prefixes — no wildcards by policy):
+
+      - rules match when the URL path starts with the rule prefix
+      - the LONGEST matching prefix wins
+      - on a length tie, allow wins (least-restrictive)
+      - no matching rule -> allowed
+
+    rules: (host, prefix, allow:boolean). Scale shape: rules are
+    pre-aggregated to ONE row per host (collect_list of structs) and
+    BROADCAST, so the corpus side takes a single 1:1 equi-join on
+    host and never duplicates rows per candidate rule; match +
+    longest/tie resolution run as array HOFs (filter + array_max over
+    struct(len, allow) — struct comparison IS the precedence order).
+    Zero corpus shuffle; a million-rule robots corpus is a few-MB
+    broadcast. The empty path normalizes to '/'.
+    """
+    rcols = rules.columns
+    by_host = F.broadcast(
+        rules.select(F.lower(F.col(rcols[0])).alias("_rg_host"),
+                     F.struct(F.col(rcols[1]).cast("string")
+                              .alias("prefix"),
+                              F.col(rcols[2]).cast("boolean")
+                              .alias("allow")).alias("_r"))
+        .groupBy("_rg_host")
+        .agg(F.collect_list("_r").alias("_rg_rules")))
+    path_raw = F.regexp_extract(F.col(url_col), PATH_RE, 1)
+    path = F.when(path_raw == "", "/").otherwise(path_raw)
+    out = (df.withColumn("_rg_path", path)
+           .join(by_host,
+                 authority_host(url_col) == F.col("_rg_host"), "left"))
+    matching = F.filter(
+        F.coalesce(F.col("_rg_rules"),
+                   F.array().cast("array<struct<prefix:string,"
+                                  "allow:boolean>>")),
+        lambda r: F.startswith(F.col("_rg_path"), r["prefix"]))
+    best = F.array_max(F.transform(
+        matching, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                                     r["allow"].alias("a"))))
+    return (out.withColumn(out_col, F.coalesce(best["a"], F.lit(True)))
+            .drop("_rg_host", "_rg_rules", "_rg_path"))

@@ -103,3 +103,16 @@ def test_plan_broadcasts_ratio_no_cartesian(spark):
     # log_ratio_table (the mixing.py broadcast-scalar idiom); the
     # corpus-side gram stream must never feed one
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_fused_fit_matches_two_pass(spark):
+    rows = [(i, [TARGETY, RAWLIKE, JUNKY][i % 3] + f" t{i % 4}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("is_target", F.col("doc_id") % 5 == 0)
+    two = dsir.log_ratio_table(
+        dsir.bucket_counts(df.filter("is_target")),
+        dsir.bucket_counts(df.filter("NOT is_target")))
+    fused = dsir.fit_log_ratios(df)
+    assert sorted(map(tuple, two.collect())) == \
+        sorted(map(tuple, fused.collect()))

@@ -113,3 +113,51 @@ class TestBlocklist:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRobotsGate:
+    @pytest.fixture(scope="class")
+    def rules(self, spark):
+        return spark.createDataFrame(
+            [("ex.org", "/", True),
+             ("ex.org", "/priv", False),
+             ("ex.org", "/priv/pub", True),
+             ("tie.org", "/a", True),
+             ("tie.org", "/a", False)],
+            "host string, prefix string, allow boolean")
+
+    def _gate(self, spark, rules, urls):
+        from dxnn_ocr_cpp_spark.operators.urls import robots_gate
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return {r["url"]: r["allowed"]
+                for r in robots_gate(df, rules).collect()}
+
+    def test_longest_match_wins(self, spark, rules):
+        got = self._gate(spark, rules, [
+            "https://ex.org/ok",             # '/' allow
+            "https://ex.org/priv/x",         # '/priv' disallow
+            "https://ex.org/priv/pub/x",     # '/priv/pub' allow (longest)
+        ])
+        assert got == {"https://ex.org/ok": True,
+                       "https://ex.org/priv/x": False,
+                       "https://ex.org/priv/pub/x": True}
+
+    def test_tie_breaks_to_allow_and_no_rules_pass(self, spark, rules):
+        got = self._gate(spark, rules, [
+            "https://tie.org/a/x",     # equal-length allow+disallow
+            "https://other.net/any",   # host with no rules
+            "https://ex.org",          # empty path -> '/' -> allow
+        ])
+        assert got == {"https://tie.org/a/x": True,
+                       "https://other.net/any": True,
+                       "https://ex.org": True}
+
+    def test_single_broadcast_join_no_corpus_shuffle(self, spark, rules):
+        from dxnn_ocr_cpp_spark.operators.urls import robots_gate
+        df = spark.createDataFrame([("https://ex.org/priv/a",)],
+                                   "url string")
+        plan = robots_gate(df, rules)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
