@@ -1393,6 +1393,141 @@ def q_dsir_select(spark, sf_dir):
             .select("doc_id", "n_grams", "logw_micro"))
 
 
+def q_page_meta(spark, sf_dir):
+    """HTML page-metadata extraction (operators/meta.py): title /
+    meta description / canonical URL / og:title / html lang attribute
+    — pure Catalyst regexp_extract in the scan stage, zero Python,
+    zero shuffle. Exercises attribute-order independence (content
+    before name), case-insensitive tags, entity decode (&amp; last),
+    whitespace collapse, and missing-field -> ''. The DuckDB twin
+    rebuilds the IDENTICAL html strings and replays the IDENTICAL
+    pattern constants + replace chain."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.meta import page_meta
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.when(i % 3 == 0, F.lit("EN-us")).when(i % 3 == 1, F.lit("de"))
+         .otherwise(F.lit("")),     # empty lang attr never matches
+        F.lit('"><head>'),
+        F.when(i % 4 != 3, F.concat(
+            F.lit("<title> Doc &amp; "), sid,
+            F.lit("  &quot;x&quot;\n t</title>"))).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<meta content="desc '), sid,
+            F.lit('" name="description">'))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit("<link rel='canonical' href='https://c.example.org/"),
+            sid, F.lit("'>"))).otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.concat(
+            F.lit('<meta property="og:title" content="og &lt;'), sid,
+            F.lit('&gt;">'))).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"))
+    return (page_meta(d.select("doc_id", html.alias("html")))
+            .select("doc_id", "title", "meta_description",
+                    "canonical_url", "og_title", "html_lang")
+            .orderBy("doc_id"))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher line-structure quality battery (curation.py,
+    gopher_line_features — Rae et al. 2021 A1): duplicate-line /
+    duplicate-paragraph / duplicate-line-CHAR fractions, bullet and
+    ellipsis line fractions, alphabetic-word fraction, stopword
+    count, and the composed keep gate — all pure array expressions,
+    zero shuffle. Line structure is injected deterministically (dup
+    lines on %7==0, bullets on %5==0, ellipsis tails on %4==0). The
+    DuckDB twin replays every fraction with list functions over the
+    same splits and the IDENTICAL regex/threshold constants."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import gopher_line_features
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(i % 7 == 0, F.lit("\nsame line\nsame line\nsame line"))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\n- bullet one\n- bullet two"))
+         .otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("\ntrailing thought...\nmore…"))
+         .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("\n\nrepeated para\n\nrepeated para"))
+         .otherwise(F.lit("")))
+    feats = gopher_line_features(
+        d.select("doc_id", text2.alias("text")))
+    round6 = [F.round(c, 6).alias(c)
+              for c in ("dup_line_frac", "dup_para_frac",
+                        "dup_line_char_frac", "bullet_line_frac",
+                        "ellipsis_line_frac", "alpha_word_frac")]
+    return (feats.select("doc_id", "n_lines", "n_stopwords",
+                         *round6, "keep")
+            .orderBy("doc_id"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed bag-of-ngrams quality classifier
+    (operators/classifier.py): integer-weight batch perceptron over
+    md5-hashed unigram counts, trained 3 rounds on lang=='en' as the
+    positive label, then a zero-shuffle map-only scoring pass. Every
+    quantity is an INTEGER, so training is exact, order-independent,
+    and the DuckDB oracle UNROLLS all 3 rounds as chained CTEs (the
+    host_pagerank sequential-replay discipline) — the driver hash
+    compare certifies the distributed training loop itself."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.classifier import (score_documents,
+                                                         train_perceptron)
+    d = _t(spark, sf_dir, "documents")
+    labelled = d.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1))
+    w = train_perceptron(labelled, label_col="y", n_buckets=1024,
+                         iters=3, hash_family="md5")
+    return (score_documents(d, w)
+            .select("doc_id", "score", "pred")
+            .orderBy("doc_id"))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-aware canonical selection per near-dup cluster
+    (cc.canonical_docs): connected components over the exact Jaccard
+    pair graph, then per component keep the LONGEST member (n_chars
+    argmax, ties to smaller id) — the keep-the-best policy real dedup
+    pipelines apply, vs dedup_clusters' min-id survivor. Integer rank
+    -> exact argmax. The DuckDB oracle closes the same graph with a
+    recursive CTE and replays the argmax via row_number."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cc import canonical_docs
+    from dxnn_ocr_cpp_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.4)
+    return (canonical_docs(pairs, d)
+            .select(F.col("component").cast("long").alias("component"),
+                    "canonical_doc", "n_docs", "canonical_rank")
+            .orderBy("component"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus monitoring rollup: doc and char totals per
+    (lang, source) with CUBE subtotals — the per-slice accounting
+    table a mixture-weighted training run reads (the A5/A6 counters
+    generalized to slices). One pass, one shuffle: Spark plans CUBE
+    as a single expand+aggregate; grouping flags are computed
+    explicitly (grouping(lang)*2 + grouping(source)) so both engines
+    agree on the bit order."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    gid = (F.grouping("lang") * 2 + F.grouping("source")).cast("int")
+    return (d.cube("lang", "source")
+            .agg(gid.alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .select(F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    F.coalesce("source", F.lit("<all>")).alias("source"),
+                    "gid", "n_docs", "total_chars")
+            .orderBy("gid", "lang", "source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1459,6 +1594,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
+        "page_meta": q_page_meta,
+        "gopher_rules": q_gopher_rules,
+        "quality_classifier": q_quality_classifier,
+        "dedup_canonical": q_dedup_canonical,
+        "corpus_stats": q_corpus_stats,
         "extract_corpus": q_extract_corpus,
     }
 
@@ -2742,6 +2882,235 @@ def _robots_oracle() -> str:
 
 
 ORACLES["robots_gate"] = _robots_oracle()
+
+
+def _meta_oracle() -> str:
+    """Full twin of q_page_meta: rebuilds the identical html strings,
+    replays the IDENTICAL pattern constants from operators/meta.py and
+    the same entity-replace chain (amp last) + ws collapse + trim."""
+    from dxnn_ocr_cpp_spark.operators import meta as M
+
+    def rx(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    def clean(expr: str) -> str:
+        for ent, rep in M.ENTITIES:
+            e, r = ent.replace("'", "''"), rep.replace("'", "''")
+            expr = f"replace({expr}, '{e}', '{r}')"
+        return (f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))")
+
+    title = clean(f"regexp_extract(html, '{rx(M.TITLE_RE)}', 1)")
+    desc = clean(f"regexp_extract(regexp_extract(html, "
+                 f"'{rx(M.DESC_TAG_RE)}', 0), "
+                 f"'{rx(M.CONTENT_ATTR_RE)}', 1)")
+    og = clean(f"regexp_extract(regexp_extract(html, "
+               f"'{rx(M.OG_TITLE_TAG_RE)}', 0), "
+               f"'{rx(M.CONTENT_ATTR_RE)}', 1)")
+    canon = (f"trim(regexp_extract(regexp_extract(html, "
+             f"'{rx(M.CANONICAL_TAG_RE)}', 0), "
+             f"'{rx(M.HREF_ATTR_RE)}', 1))")
+    lang = f"lower(regexp_extract(html, '{rx(M.LANG_ATTR_RE)}', 1))"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+        '<html lang="' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'EN-us'
+             WHEN doc_id % 3 = 1 THEN 'de' ELSE '' END ||
+        '"><head>' ||
+        CASE WHEN doc_id % 4 <> 3
+             THEN '<title> Doc &amp; ' || doc_id
+                  || '  &quot;x&quot;' || chr(10) || ' t</title>'
+             ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0
+             THEN '<meta content="desc ' || doc_id
+                  || '" name="description">'
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN '<link rel=''canonical'' href=''https://c.example.org/'
+                  || doc_id || '''>'
+             ELSE '' END ||
+        CASE WHEN doc_id % 6 = 0
+             THEN '<meta property="og:title" content="og &lt;' || doc_id
+                  || '&gt;">'
+             ELSE '' END ||
+        '</head><body>b</body></html>' AS html
+      FROM documents)
+    SELECT doc_id, {title} AS title, {desc} AS meta_description,
+           {canon} AS canonical_url, {og} AS og_title,
+           {lang} AS html_lang
+    FROM docs ORDER BY doc_id
+    """
+
+
+ORACLES["page_meta"] = _meta_oracle()
+
+
+def _gopher_oracle() -> str:
+    """Full twin of q_gopher_rules: replays every fraction with DuckDB
+    list functions over the same splits, the IDENTICAL regex constants
+    and the IDENTICAL thresholds from operators/curation.py."""
+    from dxnn_ocr_cpp_spark.operators import curation as C
+    from dxnn_ocr_cpp_spark.operators.textstats import (STOPWORDS_EN,
+                                                        _marker_regex)
+    stop_re = _marker_regex(STOPWORDS_EN)
+    lo = C.ALPHA_WORD_FRAC_MIN
+    return f"""
+    WITH inj AS (
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'same line' || chr(10)
+             || 'same line' || chr(10) || 'same line' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet one'
+             || chr(10) || '- bullet two' ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'trailing thought...'
+             || chr(10) || 'more…' ELSE '' END ||
+        CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+             || 'repeated para' || chr(10) || chr(10) || 'repeated para'
+             ELSE '' END AS t
+      FROM documents),
+    arrs AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(t, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS ln,
+        list_filter(list_transform(
+            regexp_split_to_array(t, '\\n{{2,}}'), x -> trim(x)),
+            x -> x <> '') AS pa,
+        CASE WHEN trim(t) = '' THEN []
+             ELSE string_split(regexp_replace(lower(trim(t)),
+                                              '\\s+', ' ', 'g'), ' ')
+        END AS w,
+        len(regexp_extract_all(lower(t), '{stop_re}')) AS n_stop
+      FROM inj),
+    f AS (
+      SELECT doc_id,
+        len(ln) AS n_lines, n_stop,
+        CASE WHEN len(ln) > 0 THEN
+          (len(ln) - len(list_distinct(ln))) / len(ln)::DOUBLE
+          ELSE 0.0 END AS dlf,
+        CASE WHEN len(pa) > 0 THEN
+          (len(pa) - len(list_distinct(pa))) / len(pa)::DOUBLE
+          ELSE 0.0 END AS dpf,
+        CASE WHEN coalesce(list_sum(list_transform(ln,
+                 x -> length(x))), 0) > 0 THEN
+          coalesce(list_sum(list_transform(ln,
+            x -> CASE WHEN len(list_filter(ln, y -> y = x)) > 1
+                      THEN length(x) ELSE 0 END)), 0)
+          / coalesce(list_sum(list_transform(ln,
+              x -> length(x))), 0)::DOUBLE
+          ELSE 0.0 END AS dlcf,
+        CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln, x -> regexp_matches(x, '^[-*•·]')))
+          / len(ln)::DOUBLE ELSE 0.0 END AS blf,
+        CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln,
+              x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+          / len(ln)::DOUBLE ELSE 0.0 END AS elf,
+        CASE WHEN len(w) > 0 THEN
+          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          / len(w)::DOUBLE ELSE 0.0 END AS awf
+      FROM arrs)
+    SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(n_stop AS INTEGER) AS n_stopwords,
+           round(dlf, 6) AS dup_line_frac,
+           round(dpf, 6) AS dup_para_frac,
+           round(dlcf, 6) AS dup_line_char_frac,
+           round(blf, 6) AS bullet_line_frac,
+           round(elf, 6) AS ellipsis_line_frac,
+           round(awf, 6) AS alpha_word_frac,
+           (dlf <= {C.DUP_LINE_FRAC_MAX} AND dpf <= {C.DUP_PARA_FRAC_MAX}
+            AND dlcf <= {C.DUP_LINE_CHAR_FRAC_MAX}
+            AND blf <= {C.BULLET_LINE_FRAC_MAX}
+            AND elf <= {C.ELLIPSIS_LINE_FRAC_MAX}
+            AND awf >= {lo} AND n_stop >= {C.MIN_STOPWORDS}) AS keep
+    FROM f ORDER BY doc_id
+    """
+
+
+ORACLES["gopher_rules"] = _gopher_oracle()
+
+
+def _classifier_oracle(n_buckets: int = 1024, iters: int = 3) -> str:
+    """Full twin of q_quality_classifier: UNROLLS the integer batch
+    perceptron's training rounds as chained CTEs (the host_pagerank
+    sequential-replay discipline) — round 1 starts from w=0 so every
+    doc is misclassified and w1 is the class-difference count vector;
+    rounds k>=2 rescore under w_{{k-1}}, update on y*s<=0. All
+    integer arithmetic, so agreement is exact."""
+    parts = [f"""
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents WHERE trim(text) <> ''),
+    feats AS (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {n_buckets} AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, y, unnest(w) AS g FROM tok) t
+      GROUP BY doc_id, y, b),
+    w1 AS (SELECT b, sum(y * x) AS w FROM feats GROUP BY b)"""]
+    for k in range(2, iters + 1):
+        parts.append(f""",
+    s{k} AS (
+      SELECT f.doc_id, any_value(f.y) AS y,
+             coalesce(sum(f.x * w{k - 1}.w), 0) AS s
+      FROM feats f LEFT JOIN w{k - 1} USING (b) GROUP BY f.doc_id),
+    m{k} AS (SELECT doc_id FROM s{k} WHERE y * s <= 0),
+    g{k} AS (SELECT f.b, sum(f.y * f.x) AS g
+             FROM feats f JOIN m{k} USING (doc_id) GROUP BY f.b),
+    w{k} AS (
+      SELECT coalesce(w{k - 1}.b, g{k}.b) AS b,
+             coalesce(w{k - 1}.w, 0) + coalesce(g{k}.g, 0) AS w
+      FROM w{k - 1} FULL JOIN g{k} ON w{k - 1}.b = g{k}.b)""")
+    parts.append(f""",
+    scores AS (
+      SELECT f.doc_id, coalesce(sum(f.x * w{iters}.w), 0) AS score
+      FROM feats f LEFT JOIN w{iters} USING (b) GROUP BY f.doc_id)
+    SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+           coalesce(s.score, 0) > 0 AS pred
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    ORDER BY d.doc_id""")
+    return "".join(parts)
+
+
+ORACLES["quality_classifier"] = _classifier_oracle()
+
+ORACLES["dedup_canonical"] = f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    jp AS (SELECT a, b FROM jpairs
+           WHERE common / (na + nb - common) >= 0.4),
+    e AS (SELECT a AS u, b AS v FROM jp
+          UNION SELECT b, a FROM jp),
+    reach(v, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v),
+    comp AS (SELECT v AS node, min(r) AS component
+             FROM reach GROUP BY v),
+    ranked AS (
+      SELECT c.node, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node ASC)
+               AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(max(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+             AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_chars) AS BIGINT) AS canonical_rank
+    FROM ranked GROUP BY component ORDER BY component
+"""
+
+ORACLES["corpus_stats"] = """
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           CAST(grouping(lang) * 2 + grouping(source) AS INTEGER)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    ORDER BY 3, 1, 2
+"""
 
 ORACLES["link_graph"] = f"""
     SELECT u AS src_host, v AS dst_host, w AS n_links

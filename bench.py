@@ -130,6 +130,11 @@ HEADLINE = [
     "dsir_select",
     "robots_gate",
     "bpe_train",
+    "page_meta",
+    "gopher_rules",
+    "quality_classifier",
+    "dedup_canonical",
+    "corpus_stats",
 ]
 
 

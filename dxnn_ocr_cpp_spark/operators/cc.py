@@ -168,3 +168,38 @@ def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b",
     return (cc.groupBy("component")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.max("node").cast("long").alias("max_doc")))
+
+
+def canonical_docs(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id", rank_col: str = "n_chars",
+                   src: str = "a", dst: str = "b",
+                   max_iter: int = 30) -> DataFrame:
+    """Quality-aware canonical selection per near-duplicate cluster:
+    (component, canonical_doc, n_docs, canonical_rank). Where
+    dedup_clusters keeps min-id (arbitrary-but-stable), this keeps the
+    BEST member — argmax of rank_col, ties to the smaller id — the
+    keep-the-longest policy real dedup pipelines apply so boilerplate
+    fragments never shadow the full article they duplicate.
+
+    rank_col must be integer-valued (n_chars, token count, an integer
+    quality grade): the argmax is then exact and bit-replayable, the
+    classifier.py no-floats discipline — a float rank would put every
+    cross-engine ULP on an argmax boundary.
+
+    Scale shape: the cluster map (node, component) is result-sized
+    (only docs that HAVE a near-dup); joining it to the corpus
+    projects docs down to (id, rank) before the shuffle, and the
+    argmax is one partial-aggregated max_by — no window, no sort, no
+    second pass.
+    """
+    cc = connected_components(pairs, src, dst, max_iter)
+    ranked = cc.join(
+        docs.select(F.col(id_col).alias("node"),
+                    F.col(rank_col).cast("long").alias("_rank")),
+        "node")
+    return (ranked.groupBy("component")
+            .agg(F.max_by("node", F.struct(F.col("_rank"),
+                                           -F.col("node")))
+                 .cast("long").alias("canonical_doc"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.max("_rank").cast("long").alias("canonical_rank")))

@@ -172,6 +172,101 @@ def repetition_ok(feats: dict[str, Column]) -> Column:
             & (feats["mean_word_len"] <= hi))
 
 
+# ---------- Gopher line/paragraph rules (Rae et al. 2021, A1) ----------
+#
+# The line-structure half of the Gopher repetition battery — the
+# word/bigram half lives in repetition_features above. All thresholds
+# are the published Gopher values where one exists.
+
+DUP_LINE_FRAC_MAX = 0.30
+DUP_PARA_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+ALPHA_WORD_FRAC_MIN = 0.80
+MIN_STOPWORDS = 2
+
+BULLET_RE = r"^[-*•·]"          # -, *, •, · line leads
+ELLIPSIS_RE = r"(\.\.\.|…)$"          # ... or … line tails
+ALPHA_WORD_RE = r"[A-Za-z]"
+
+
+def gopher_line_features(df: DataFrame, text_col: str = "text",
+                         keep_cols: tuple = ("doc_id",)) -> DataFrame:
+    """(keep_cols..., n_lines, dup_line_frac, dup_para_frac,
+    dup_line_char_frac, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stopwords, keep) — the Gopher line-structure
+    quality battery as pure array expressions, zero shuffle.
+
+    Lines split on single newlines, paragraphs on blank lines; both
+    trimmed with empties dropped (layout, not content). The
+    duplicate-line CHAR fraction needs per-line occurrence counts, a
+    nested filter per element — O(lines²) per doc, bounded in practice
+    (lines per page ~10²; it is per-row CPU, never a shuffle).
+
+    Staged projections (the with_repetition_features lesson: selecting
+    many features off one shared array expression makes Catalyst
+    re-inline the split chain per output column — stage the arrays
+    once, measured ~10x)."""
+    from .textstats import STOPWORDS_EN, _marker_regex
+
+    def _split_trim(pat: str):
+        parts = F.transform(F.split(F.col(text_col), pat),
+                            lambda x: F.trim(x))
+        return F.filter(parts, lambda x: x != "")
+
+    w = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " ")
+    s1 = df.select(
+        *keep_cols,
+        _split_trim(r"\n").alias("__ln"),
+        _split_trim(r"\n{2,}").alias("__pa"),
+        F.when(F.trim(F.col(text_col)) == "",
+               F.array().cast("array<string>")).otherwise(w).alias("__w"),
+        F.size(F.regexp_extract_all(
+            F.lower(F.col(text_col)),
+            F.lit(_marker_regex(STOPWORDS_EN)), F.lit(0)))
+        .cast("int").alias("n_stopwords"))
+
+    ln, pa, wds = F.col("__ln"), F.col("__pa"), F.col("__w")
+    n_ln = F.size(ln)
+    n_pa = F.size(pa)
+    n_w = F.size(wds)
+    total_chars = F.aggregate(ln, F.lit(0), lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        ln, F.lit(0),
+        lambda a, x: a + F.when(
+            F.size(F.filter(ln, lambda y: y == x)) > 1,
+            F.length(x)).otherwise(F.lit(0)))
+
+    def _frac(num, den):
+        return F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0))
+
+    s2 = s1.select(
+        *keep_cols, "n_stopwords",
+        n_ln.cast("int").alias("n_lines"),
+        _frac(n_ln - F.size(F.array_distinct(ln)), n_ln)
+        .alias("dup_line_frac"),
+        _frac(n_pa - F.size(F.array_distinct(pa)), n_pa)
+        .alias("dup_para_frac"),
+        _frac(dup_chars, total_chars).alias("dup_line_char_frac"),
+        _frac(F.size(F.filter(ln, lambda x: x.rlike(BULLET_RE))), n_ln)
+        .alias("bullet_line_frac"),
+        _frac(F.size(F.filter(ln, lambda x: x.rlike(ELLIPSIS_RE))), n_ln)
+        .alias("ellipsis_line_frac"),
+        _frac(F.size(F.filter(wds, lambda x: x.rlike(ALPHA_WORD_RE))), n_w)
+        .alias("alpha_word_frac"))
+    return s2.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= DUP_LINE_FRAC_MAX)
+        & (F.col("dup_para_frac") <= DUP_PARA_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= DUP_LINE_CHAR_FRAC_MAX)
+        & (F.col("bullet_line_frac") <= BULLET_LINE_FRAC_MAX)
+        & (F.col("ellipsis_line_frac") <= ELLIPSIS_LINE_FRAC_MAX)
+        & (F.col("alpha_word_frac") >= ALPHA_WORD_FRAC_MIN)
+        & (F.col("n_stopwords") >= MIN_STOPWORDS))
+
+
 # ---------- benchmark decontamination ----------
 
 def _exploded_grams(df: DataFrame, id_col: str, text_col: str,

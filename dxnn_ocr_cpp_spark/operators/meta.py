@@ -1,0 +1,87 @@
+"""HTML page-metadata extraction — title, meta description, canonical
+URL, og:title, html lang attribute. These are the per-page header
+fields every crawl-derived corpus carries alongside the extracted body
+(Common Crawl's WAT metadata sidecar publishes exactly this set), used
+downstream for dedup keys (canonical URL), language routing (lang
+attr), and snippet/label generation (title/description).
+
+Reference analog: the per-task metadata the reference attaches to each
+OCR result envelope (/root/reference/server/ocr_handler.cpp response
+assembly — id, timing, source fields next to the recognized text);
+here the envelope fields come from the document head itself.
+
+Scale shape: every field is a pure Catalyst regexp_extract over the
+raw HTML inside the scan stage — zero Python, zero shuffle, zero extra
+pass (the linkgraph.host_edges discipline). All pattern strings live
+in module constants in the Java/RE2 COMMON subset so the DuckDB oracle
+replays the IDENTICAL strings (the urls.py discipline).
+
+Policy (deterministic, SQL-mirrorable):
+  * first match wins for every field (regexp_extract semantics in
+    both engines); missing field -> '' (both engines return '' on
+    no-match).
+  * attribute matching requires the discriminating attribute
+    (name=/property=/rel=) BEFORE the value attribute within the tag;
+    the two-step tag-then-attribute extraction below removes that
+    order dependence for content=/href= (matched anywhere in the
+    already-isolated tag).
+  * title text is entity-decoded for the five canonical entities
+    + &nbsp;, single pass with &amp; LAST (the standard single-pass
+    approximation: '&amp;lt;' decodes to '&lt;' and stops), then
+    whitespace-collapsed and trimmed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# group 1 = raw title text (dotall: titles wrap lines in the wild)
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+# whole-tag isolators (group 0 used): discriminator attr inside the tag
+DESC_TAG_RE = r"""(?is)<meta\s[^>]*?name\s*=\s*["']description["'][^>]*>"""
+OG_TITLE_TAG_RE = (
+    r"""(?is)<meta\s[^>]*?property\s*=\s*["']og:title["'][^>]*>""")
+CANONICAL_TAG_RE = (
+    r"""(?is)<link\s[^>]*?rel\s*=\s*["']canonical["'][^>]*>""")
+# value pulls out of the isolated tag — attribute order no longer matters
+CONTENT_ATTR_RE = r"""(?is)content\s*=\s*["']([^"']*)["']"""
+HREF_ATTR_RE = r"""(?is)href\s*=\s*["']([^"']*)["']"""
+LANG_ATTR_RE = r"""(?is)<html\s[^>]*?lang\s*=\s*["']([A-Za-z][A-Za-z-]*)["']"""
+
+# (entity, replacement) in application order; amp LAST by policy
+ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def decode_entities(col: Column) -> Column:
+    """Chained literal replaces in ENTITIES order (DuckDB twin chains
+    replace() over the same tuples)."""
+    for ent, rep in ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def clean_text(col: Column) -> Column:
+    """Entity-decode + whitespace-collapse + trim."""
+    return F.trim(F.regexp_replace(decode_entities(col), r"\s+", " "))
+
+
+def page_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds (title, meta_description, canonical_url, og_title,
+    html_lang) string columns; '' where the field is absent. Pure
+    Catalyst — plans as expressions in the scan stage."""
+    h = F.col(html_col)
+    title = clean_text(F.regexp_extract(h, TITLE_RE, 1))
+    desc = clean_text(F.regexp_extract(
+        F.regexp_extract(h, DESC_TAG_RE, 0), CONTENT_ATTR_RE, 1))
+    og = clean_text(F.regexp_extract(
+        F.regexp_extract(h, OG_TITLE_TAG_RE, 0), CONTENT_ATTR_RE, 1))
+    canon = F.trim(F.regexp_extract(
+        F.regexp_extract(h, CANONICAL_TAG_RE, 0), HREF_ATTR_RE, 1))
+    lang = F.lower(F.regexp_extract(h, LANG_ATTR_RE, 1))
+    return (df.withColumn("title", title)
+            .withColumn("meta_description", desc)
+            .withColumn("canonical_url", canon)
+            .withColumn("og_title", og)
+            .withColumn("html_lang", lang))

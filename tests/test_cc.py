@@ -99,3 +99,24 @@ class TestClusterSummary:
         kept = sorted(r["doc_id"] for r in
                       docs.join(drop, "doc_id", "left_anti").collect())
         assert kept == [0, 1, 2, 3, 5, 6, 8, 9]
+
+
+class TestCanonicalDocs:
+    def run(self, spark, pairs, docs):
+        from dxnn_ocr_cpp_spark.operators.cc import canonical_docs
+        p = spark.createDataFrame(pairs, "a long, b long")
+        d = spark.createDataFrame(docs, "doc_id long, n_chars long")
+        return {r["component"]: r for r in
+                canonical_docs(p, d).collect()}
+
+    def test_longest_member_wins(self, spark):
+        got = self.run(spark, [(1, 2), (2, 3), (10, 11)],
+                       [(1, 5), (2, 99), (3, 7), (10, 4), (11, 4),
+                        (12, 1000)])  # 12 not in any pair -> absent
+        assert got[1]["canonical_doc"] == 2      # max n_chars in {1,2,3}
+        assert got[1]["n_docs"] == 3 and got[1]["canonical_rank"] == 99
+        assert 12 not in {r["canonical_doc"] for r in got.values()}
+
+    def test_rank_tie_breaks_to_smaller_id(self, spark):
+        got = self.run(spark, [(10, 11)], [(10, 4), (11, 4)])
+        assert got[10]["canonical_doc"] == 10

@@ -247,3 +247,52 @@ class TestRepetitionStagedAPI:
             F.round("dup_2gram_frac", 9).alias("dgf"),
             F.round("mean_word_len", 9).alias("mwl"), "keep").collect())
         assert a == b
+
+
+class TestGopherLineRules:
+    def feats(self, spark, text):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            gopher_line_features
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return gopher_line_features(df).collect()[0]
+
+    def test_duplicate_lines_and_char_fraction(self, spark):
+        r = self.feats(spark, "same\nsame\nsame\nuniquely long line here")
+        assert r["n_lines"] == 4
+        assert r["dup_line_frac"] == pytest.approx(0.5)  # 4 - 2 distinct
+        # 12 chars in dup lines / 35 total
+        assert r["dup_line_char_frac"] == pytest.approx(12 / 35)
+
+    def test_duplicate_paragraphs(self, spark):
+        r = self.feats(spark, "para one\n\npara one\n\npara two")
+        assert r["dup_para_frac"] == pytest.approx(1 / 3)
+        assert r["dup_line_frac"] == pytest.approx(1 / 3)
+
+    def test_bullet_and_ellipsis_fractions(self, spark):
+        r = self.feats(spark, "- a\n* b\n• c\nplain\nends...\ntrails…")
+        assert r["bullet_line_frac"] == pytest.approx(3 / 6)
+        assert r["ellipsis_line_frac"] == pytest.approx(2 / 6)
+
+    def test_alpha_word_frac_and_stopwords_gate(self, spark):
+        good = self.feats(
+            spark, "the cat sat on the mat and it was a fine day")
+        assert good["alpha_word_frac"] == 1.0
+        assert good["n_stopwords"] >= 2 and bool(good["keep"])
+        numeric = self.feats(spark, "123 456 789 000 111 222")
+        assert numeric["alpha_word_frac"] == 0.0
+        assert not numeric["keep"]
+
+    def test_empty_doc_emits_zeros_not_nulls(self, spark):
+        r = self.feats(spark, "")
+        assert r["n_lines"] == 0 and r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0 and not r["keep"]
+
+    def test_plan_zero_shuffle_zero_python(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            gopher_line_features
+        df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+        plan = gopher_line_features(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
