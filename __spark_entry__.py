@@ -1507,6 +1507,40 @@ def q_dedup_canonical(spark, sf_dir):
             .orderBy("component"))
 
 
+def q_fuzzy_dedup_keeplist(spark, sf_dir):
+    """END-TO-END fuzzy dedup, oracle-certified at every stage:
+    MinHash-LSH candidate pairs (md5 family — DuckDB replays the
+    banding and exact-Jaccard verify bit-for-bit), alternating-star
+    connected components over the pair graph, keep-the-longest
+    canonical per component (integer argmax, ties to smaller id),
+    and the survivor anti-join. This is the composition a real
+    pipeline runs as ONE job; the recursive-CTE twin certifies the
+    whole path, not just the pair stage.
+
+    Scale shape: pair graph and cluster map are result-sized; the
+    corpus-side cost is the signature build (narrow map) + band
+    shuffle from minhash_lsh_pairs, then one result-sized argmax and
+    one anti-join keyed on doc_id."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cc import connected_components
+    from dxnn_ocr_cpp_spark.operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.4, hash_family="md5",
+                              carry="ride_along")
+    comp = connected_components(pairs, "a", "b")
+    ranked = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    canon = ranked.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("n_chars"), -F.col("node")))
+        .alias("keep_node"))
+    drops = (ranked.join(canon, "component")
+             .filter(F.col("node") != F.col("keep_node"))
+             .select(F.col("node").alias("doc_id")))
+    return (d.join(drops, "doc_id", "left_anti")
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus monitoring rollup: doc and char totals per
     (lang, source) with CUBE subtotals — the per-slice accounting
@@ -1598,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "quality_classifier": q_quality_classifier,
         "dedup_canonical": q_dedup_canonical,
+        "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
         "corpus_stats": q_corpus_stats,
         "extract_corpus": q_extract_corpus,
     }
@@ -1813,32 +1848,9 @@ ORACLES: dict[str, str] = {
     # minhashes of the band's 4 seeds in seed order (= Spark's
     # concat_ws over sig[4b..4b+3]); candidate pairs from band-bucket
     # equality; exact-Jaccard verify on the distinct gram sets
-    "minhash_lsh_pairs_md5": f"""
-        WITH {_SHINGLE_CTE},
-        g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-        mh AS (
-          SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) AS h
-          FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS seed)
-          GROUP BY doc_id, seed),
-        bands AS (
-          SELECT doc_id, seed // 4 AS band,
-                 string_agg(h, '|' ORDER BY seed) AS bucket
-          FROM mh GROUP BY doc_id, seed // 4),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y
-            ON x.band = y.band AND x.bucket = y.bucket
-          WHERE x.doc_id < y.doc_id),
-        ver AS (
-          SELECT c.a, c.b,
-                 len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
-                 (len(x.sh) + len(y.sh))::DOUBLE AS tot
-          FROM cand c
-          JOIN sh x ON x.doc_id = c.a
-          JOIN sh y ON y.doc_id = c.b)
-        SELECT a, b, round(inter / greatest(tot - inter, 1.0), 6) AS jaccard
-        FROM ver WHERE inter / greatest(tot - inter, 1.0) >= 0.4
-    """,
+    # (shared CTE chain _MINHASH_MD5_CTE — also closes the
+    # fuzzy_dedup_keeplist oracle)
+    "minhash_lsh_pairs_md5": None,  # filled below from _MINHASH_MD5_CTE
     # rebuilds every SimHash signature bit: token hash = first 8 md5
     # digest bytes big-endian (CAST('0x'||substr(md5,1,16)) — the exact
     # uint64 the kernel's int.from_bytes produces), bit_j majority vote
@@ -2882,6 +2894,66 @@ def _robots_oracle() -> str:
 
 
 ORACLES["robots_gate"] = _robots_oracle()
+
+# md5 MinHash family pair mining (band keys + candidate join + exact
+# Jaccard verify) as a reusable CTE chain ending in mh_pairs(a, b)
+_MINHASH_MD5_CTE = f"""{_SHINGLE_CTE},
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) AS h
+      FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS seed)
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(h, '|' ORDER BY seed) AS bucket
+      FROM mh GROUP BY doc_id, seed // 4),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id),
+    ver AS (
+      SELECT c.a, c.b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE AS inter,
+             (len(x.sh) + len(y.sh))::DOUBLE AS tot
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b),
+    mh_pairs AS (
+      SELECT a, b, round(inter / greatest(tot - inter, 1.0), 6) AS jaccard
+      FROM ver WHERE inter / greatest(tot - inter, 1.0) >= 0.4)"""
+
+ORACLES["minhash_lsh_pairs_md5"] = f"""
+    WITH {_MINHASH_MD5_CTE}
+    SELECT a, b, jaccard FROM mh_pairs
+"""
+
+# end-to-end fuzzy dedup: MinHash-LSH pairs (md5 family, replayed
+# bit-for-bit) -> recursive component closure -> keep-the-longest
+# canonical per component -> anti-join survivors. One oracle certifies
+# the WHOLE fuzzy-dedup path, not just the pair stage.
+ORACLES["fuzzy_dedup_keeplist"] = f"""
+    WITH RECURSIVE {_MINHASH_MD5_CTE},
+    e AS (SELECT a AS u, b AS v FROM mh_pairs
+          UNION SELECT b, a FROM mh_pairs),
+    reach(v, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v),
+    comp AS (SELECT v AS node, min(r) AS component
+             FROM reach GROUP BY v),
+    ranked AS (
+      SELECT c.node, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node ASC)
+               AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.node)
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                      WHERE r.node = d.doc_id AND r.rk > 1)
+    ORDER BY d.doc_id
+"""
 
 
 def _meta_oracle() -> str:

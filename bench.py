@@ -134,6 +134,7 @@ HEADLINE = [
     "gopher_rules",
     "quality_classifier",
     "dedup_canonical",
+    "fuzzy_dedup_keeplist",
     "corpus_stats",
 ]
 
