@@ -1431,6 +1431,40 @@ def q_page_meta(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (operators/tables.py): structured
+    (table_idx, row_idx, cells) records out of raw markup — a pure
+    Catalyst regexp explode chain, zero Python, ZERO SHUFFLE. Exercises
+    case-insensitive tags, mixed th/td rows, inner-tag stripping
+    (-> space), entity decode, multi-table docs, and table-less docs
+    (absent from output, never null-padded). The DuckDB twin rebuilds
+    the IDENTICAL html and replays the IDENTICAL pattern constants."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.tables import extract_tables
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    html = F.concat(
+        F.lit("<body><p>prose</p>"),
+        F.when(i % 7 != 3, F.concat(
+            F.lit('<TaBle class="t">\n <TR><TH> H&amp;A </th>'
+                  "<th>Col</th></tr>"),
+            F.lit("<tr><td> v"), sid, F.lit(" <b>bold</b></td><td>"),
+            (i % 5).cast("string"), F.lit("</td></tr>"),
+            F.when(i % 2 == 0, F.concat(
+                F.lit('<tr><td colspan="2">only '), sid,
+                F.lit(" &lt;x&gt;</td></tr>"))).otherwise(F.lit("")),
+            F.lit("</table>"))).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(
+            F.lit("<table><tr><td>t2 "), sid,
+            F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+        F.lit("</body>"))
+    t = extract_tables(d.select("doc_id", html.alias("html")))
+    return (t.select("doc_id", "table_idx", "row_idx", "n_cells", "n_th",
+                     F.array_join("cells", "|").alias("cells_joined"))
+            .orderBy("doc_id", "table_idx", "row_idx"))
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher line-structure quality battery (curation.py,
     gopher_line_features — Rae et al. 2021 A1): duplicate-line /
@@ -1629,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "page_meta": q_page_meta,
+        "html_tables": q_html_tables,
         "gopher_rules": q_gopher_rules,
         "quality_classifier": q_quality_classifier,
         "dedup_canonical": q_dedup_canonical,
@@ -3015,6 +3050,71 @@ def _meta_oracle() -> str:
 
 
 ORACLES["page_meta"] = _meta_oracle()
+
+
+def _tables_oracle() -> str:
+    """Full twin of q_html_tables: rebuilds the identical html strings
+    and replays the IDENTICAL pattern constants from operators/tables.py
+    (table -> row -> cell regexp chain, tag-strip -> entity decode ->
+    ws collapse cell cleaning, per-row th count)."""
+    from dxnn_ocr_cpp_spark.operators import meta as M
+    from dxnn_ocr_cpp_spark.operators import tables as T
+
+    def rx(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    expr = f"regexp_replace(c, '{rx(T.TAG_RE)}', ' ', 'g')"
+    for ent, rep in M.ENTITIES:
+        e, r = ent.replace("'", "''"), rep.replace("'", "''")
+        expr = f"replace({expr}, '{e}', '{r}')"
+    cell_clean = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+        '<body><p>prose</p>' ||
+        CASE WHEN doc_id % 7 <> 3 THEN
+          '<TaBle class="t">' || chr(10) ||
+          ' <TR><TH> H&amp;A </th><th>Col</th></tr>' ||
+          '<tr><td> v' || doc_id || ' <b>bold</b></td><td>' ||
+          (doc_id % 5) || '</td></tr>' ||
+          CASE WHEN doc_id % 2 = 0 THEN
+            '<tr><td colspan="2">only ' || doc_id
+            || ' &lt;x&gt;</td></tr>'
+          ELSE '' END || '</table>'
+        ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN
+          '<table><tr><td>t2 ' || doc_id || '</td></tr></table>'
+        ELSE '' END || '</body>' AS html
+      FROM documents),
+    t AS (SELECT doc_id,
+            regexp_extract_all(html, '{rx(T.TABLE_RE)}', 1) AS tbls
+          FROM docs),
+    tb AS (SELECT doc_id, generate_subscripts(tbls, 1) - 1 AS table_idx,
+                  unnest(tbls) AS tbody FROM t),
+    r AS (SELECT doc_id, table_idx,
+            regexp_extract_all(tbody, '{rx(T.ROW_RE)}', 1) AS trs
+          FROM tb),
+    rw AS (SELECT doc_id, table_idx,
+                  generate_subscripts(trs, 1) - 1 AS row_idx,
+                  unnest(trs) AS rowhtml FROM r),
+    cl AS (SELECT doc_id, table_idx, row_idx,
+             list_transform(
+               regexp_extract_all(rowhtml, '{rx(T.CELL_RE)}', 1),
+               c -> {cell_clean}) AS cells,
+             len(regexp_extract_all(rowhtml, '{rx(T.TH_OPEN_RE)}', 0))
+               AS n_th
+           FROM rw)
+    SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+           CAST(row_idx AS BIGINT) AS row_idx,
+           CAST(len(cells) AS BIGINT) AS n_cells,
+           CAST(n_th AS BIGINT) AS n_th,
+           array_to_string(cells, '|') AS cells_joined
+    FROM cl ORDER BY doc_id, table_idx, row_idx
+    """
+
+
+ORACLES["html_tables"] = _tables_oracle()
 
 
 def _gopher_oracle() -> str:

@@ -131,6 +131,7 @@ HEADLINE = [
     "robots_gate",
     "bpe_train",
     "page_meta",
+    "html_tables",
     "gopher_rules",
     "quality_classifier",
     "dedup_canonical",
