@@ -1465,6 +1465,20 @@ def q_html_tables(spark, sf_dir):
             .orderBy("doc_id", "table_idx", "row_idx"))
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (operators/tfidf.py): top-5 salient
+    terms per document. Three irreducible exchanges (partial-agg tf,
+    token-window df that reuses the same exchange as its join-back,
+    per-doc top-k); idf quantized to integer micro-nats right after the
+    ln so the score is exact integer arithmetic (dsir.py discipline)
+    and the DuckDB twin replays it bit-for-bit."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.tfidf import tfidf_topk
+    d = _t(spark, sf_dir, "documents")
+    return (tfidf_topk(d.select("doc_id", "text"), k=5)
+            .orderBy("doc_id", "rank"))
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher line-structure quality battery (curation.py,
     gopher_line_features — Rae et al. 2021 A1): duplicate-line /
@@ -1664,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "page_meta": q_page_meta,
         "html_tables": q_html_tables,
+        "tfidf_keywords": q_tfidf_keywords,
         "gopher_rules": q_gopher_rules,
         "quality_classifier": q_quality_classifier,
         "dedup_canonical": q_dedup_canonical,
@@ -3115,6 +3130,39 @@ def _tables_oracle() -> str:
 
 
 ORACLES["html_tables"] = _tables_oracle()
+
+# TF-IDF twin: same tokenization as lm_quality's oracle, identical
+# micro-nat quantization point (round AFTER the ln, BEFORE the tf
+# multiply) so the integer score replays exactly
+ORACLES["tfidf_keywords"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               ' ')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfq AS (SELECT doc_id, token, tf,
+                   CAST(count(*) OVER (PARTITION BY token) AS BIGINT)
+                     AS df
+            FROM tf),
+    sc AS (SELECT doc_id, token, tf, df,
+             CAST(round(ln(n.n / CAST(df AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS idf_micro
+           FROM dfq CROSS JOIN n),
+    rk AS (SELECT doc_id, token, tf, df, idf_micro,
+             tf * idf_micro AS score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * idf_micro DESC, token ASC)
+               AS rank
+           FROM sc)
+    SELECT doc_id, token, tf, df, idf_micro,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+"""
 
 
 def _gopher_oracle() -> str:

@@ -132,6 +132,7 @@ HEADLINE = [
     "bpe_train",
     "page_meta",
     "html_tables",
+    "tfidf_keywords",
     "gopher_rules",
     "quality_classifier",
     "dedup_canonical",
