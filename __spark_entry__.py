@@ -1479,6 +1479,40 @@ def q_tfidf_keywords(spark, sf_dir):
             .orderBy("doc_id", "rank"))
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning battery (curation.c4_line_filters — Raffel et al.
+    2020 §2.2): terminal-punctuation line gate, >=5-words-per-line,
+    javascript line drop, lorem-ipsum / curly-brace page drops,
+    >=3-sentence page gate — pure array expressions, zero shuffle,
+    zero Python. Line structure is injected deterministically (js line
+    on %3, extra sentences on %4, lorem on %11, brace on %13). The
+    DuckDB twin replays the IDENTICAL regex/threshold constants."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import c4_line_filters
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("Heading\n"),
+        F.col("text").substr(1, 40), F.lit(" tail words here."),
+        F.lit("\nShort one."),
+        F.when(i % 3 == 0, F.lit(
+            "\nThis page uses JavaScript. Enable it to proceed now."))
+         .otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit(
+            "\nA second proper sentence appears right here! "
+            "And a third one follows closely?")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+         .otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(
+            "\nvar x = { a: 1 }; window.onload fires soon."))
+         .otherwise(F.lit("")))
+    out = c4_line_filters(d.select("doc_id", text2.alias("text")))
+    return (out.select(
+        "doc_id", "n_lines", "n_lines_kept", "n_sentences",
+        F.md5(F.encode("clean_text", "UTF-8")).alias("clean_fp"),
+        "keep").orderBy("doc_id"))
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher line-structure quality battery (curation.py,
     gopher_line_features — Rae et al. 2021 A1): duplicate-line /
@@ -1679,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "html_tables": q_html_tables,
         "tfidf_keywords": q_tfidf_keywords,
+        "c4_filters": q_c4_filters,
         "gopher_rules": q_gopher_rules,
         "quality_classifier": q_quality_classifier,
         "dedup_canonical": q_dedup_canonical,
@@ -3130,6 +3165,65 @@ def _tables_oracle() -> str:
 
 
 ORACLES["html_tables"] = _tables_oracle()
+
+def _c4_oracle() -> str:
+    """Full twin of q_c4_filters: rebuilds the identical injected text
+    and replays the IDENTICAL regex/threshold constants from
+    operators/curation.py (list_filter line gates, kept-text sentence
+    count, page-level blocks)."""
+    from dxnn_ocr_cpp_spark.operators import curation as C
+
+    def rx(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    return f"""
+    WITH inj AS (
+      SELECT doc_id,
+        'Heading' || chr(10) ||
+        substr(text, 1, 40) || ' tail words here.' ||
+        chr(10) || 'Short one.' ||
+        CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+          'This page uses JavaScript. Enable it to proceed now.'
+          ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+          'A second proper sentence appears right here! ' ||
+          'And a third one follows closely?' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+          'lorem ipsum dolor sit amet.' ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+          'var x = {{ a: 1 }}; window.onload fires soon.' ELSE '' END
+          AS t
+      FROM documents),
+    ln AS (SELECT doc_id, t,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS lines
+           FROM inj),
+    kp AS (SELECT doc_id, t, lines,
+             list_filter(lines, x ->
+               regexp_matches(x, '{rx(C.C4_TERMINAL_RE)}')
+               AND len(string_split_regex(x, '\\s+'))
+                   >= {C.C4_MIN_WORDS_PER_LINE}
+               AND NOT regexp_matches(x, '{rx(C.C4_JAVASCRIPT_RE)}'))
+               AS kept
+           FROM ln),
+    fin AS (SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              CAST(len(regexp_extract_all(
+                array_to_string(kept, chr(10)),
+                '{rx(C.C4_SENT_RE)}', 0)) AS BIGINT) AS n_sentences,
+              md5(array_to_string(kept, chr(10))) AS clean_fp,
+              (NOT regexp_matches(t, '{rx(C.C4_LOREM_RE)}')
+               AND NOT contains(t, '{C.C4_BRACE}')) AS page_ok
+            FROM kp)
+    SELECT doc_id, n_lines, n_lines_kept, n_sentences, clean_fp,
+           (page_ok AND n_sentences >= {C.C4_MIN_SENTENCES}) AS keep
+    FROM fin ORDER BY doc_id
+    """
+
+
+ORACLES["c4_filters"] = _c4_oracle()
 
 # TF-IDF twin: same tokenization as lm_quality's oracle, identical
 # micro-nat quantization point (round AFTER the ln, BEFORE the tf

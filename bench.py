@@ -133,6 +133,7 @@ HEADLINE = [
     "page_meta",
     "html_tables",
     "tfidf_keywords",
+    "c4_filters",
     "gopher_rules",
     "quality_classifier",
     "dedup_canonical",

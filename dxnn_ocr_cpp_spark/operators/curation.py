@@ -267,6 +267,63 @@ def gopher_line_features(df: DataFrame, text_col: str = "text",
         & (F.col("n_stopwords") >= MIN_STOPWORDS))
 
 
+# ---------- C4 line/page rules (Raffel et al. 2020 §2.2) ----------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+# line must END in terminal punctuation (period/!/?/closing quote)
+C4_TERMINAL_RE = r'[.!?"]$'
+# sentence proxy: terminal marks in the KEPT text (C4's "fewer than
+# 3 sentences" gate, applied after line filtering)
+C4_SENT_RE = r"[.!?]"
+C4_JAVASCRIPT_RE = r"(?i)javascript"      # line-level drop
+C4_LOREM_RE = r"(?i)lorem ipsum"          # page-level drop
+C4_BRACE = "{"                            # page-level drop (code leak)
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text",
+                    keep_cols: tuple = ("doc_id",)) -> DataFrame:
+    """(keep_cols..., n_lines, n_lines_kept, n_sentences, clean_text,
+    keep) — the C4 cleaning battery as pure array expressions, ZERO
+    SHUFFLE, zero Python.
+
+    Line rules (each line trimmed, empties dropped as layout):
+      * ends in terminal punctuation (C4_TERMINAL_RE)
+      * at least C4_MIN_WORDS_PER_LINE whitespace words
+      * does not mention javascript (case-insensitive)
+    Page rules (over the ORIGINAL text, per the paper):
+      * no 'lorem ipsum', no '{'
+      * kept text has >= C4_MIN_SENTENCES sentence marks
+    clean_text is the kept lines joined with newline — the page body a
+    downstream tokenizer would consume."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    s1 = df.select(*keep_cols, F.col(text_col).alias("__t"),
+                   lines.alias("__ln"))
+    kept = F.filter(
+        F.col("__ln"),
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(x, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~x.rlike(C4_JAVASCRIPT_RE))
+    s2 = s1.select(*keep_cols, "__t",
+                   F.size("__ln").cast("long").alias("n_lines"),
+                   kept.alias("__kept"))
+    clean = F.array_join("__kept", "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(C4_SENT_RE),
+                                         F.lit(0))).cast("long")
+    s3 = s2.select(*keep_cols, "n_lines",
+                   F.size("__kept").cast("long").alias("n_lines_kept"),
+                   n_sent.alias("n_sentences"),
+                   clean.alias("clean_text"),
+                   (~F.col("__t").rlike(C4_LOREM_RE)
+                    & ~F.col("__t").contains(C4_BRACE)).alias("__page_ok"))
+    return s3.withColumn(
+        "keep",
+        F.col("__page_ok")
+        & (F.col("n_sentences") >= C4_MIN_SENTENCES)).drop("__page_ok")
+
+
 # ---------- benchmark decontamination ----------
 
 def _exploded_grams(df: DataFrame, id_col: str, text_col: str,

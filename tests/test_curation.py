@@ -296,3 +296,62 @@ class TestGopherLineRules:
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestC4LineFilters:
+    """C4 cleaning battery: line gates, page blocks, sentence gate."""
+
+    def run_one(self, spark, text):
+        from dxnn_ocr_cpp_spark.operators.curation import c4_line_filters
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return c4_line_filters(df).collect()[0]
+
+    def test_line_gates(self, spark):
+        r = self.run_one(
+            spark,
+            "Heading\n"                                # no terminal punct
+            "Too few.\n"                               # < 5 words
+            "This line has enough words to pass.\n"
+            "Please enable javascript to view this content now.\n"
+            'A quoted ending also counts as terminal here."')
+        assert r["n_lines"] == 5
+        assert r["n_lines_kept"] == 2
+        assert r["clean_text"].splitlines() == [
+            "This line has enough words to pass.",
+            'A quoted ending also counts as terminal here."']
+
+    def test_sentence_gate_and_keep(self, spark):
+        ok = self.run_one(
+            spark,
+            "First sentence is long enough to pass easily.\n"
+            "Second one also passes with room! Third follows here too?")
+        assert ok["n_sentences"] == 3 and bool(ok["keep"])
+        short = self.run_one(
+            spark, "Only one proper sentence lives on this page.")
+        assert short["n_sentences"] == 1 and not short["keep"]
+
+    def test_page_blocks(self, spark):
+        lorem = self.run_one(
+            spark,
+            "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Another fine sentence appears right here today! And more?")
+        assert not lorem["keep"]          # page block beats sentence gate
+        brace = self.run_one(
+            spark,
+            "A perfectly fine sentence sits here on this page.\n"
+            "But the template leaked a { brace into the output! Sad?")
+        assert not brace["keep"]
+
+    def test_empty_doc(self, spark):
+        r = self.run_one(spark, "")
+        assert (r["n_lines"], r["n_lines_kept"], r["n_sentences"]) == \
+            (0, 0, 0)
+        assert r["clean_text"] == "" and not r["keep"]
+
+    def test_plan_zero_shuffle_zero_python(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import c4_line_filters
+        df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+        plan = c4_line_filters(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
