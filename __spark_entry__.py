@@ -2981,12 +2981,22 @@ def _robots_oracle() -> str:
 ORACLES["robots_gate"] = _robots_oracle()
 
 # md5 MinHash family pair mining (band keys + candidate join + exact
-# Jaccard verify) as a reusable CTE chain ending in mh_pairs(a, b)
+# Jaccard verify) as a reusable CTE chain ending in mh_pairs(a, b).
+# Family constants come FROM operators/dedup.py (one source of truth):
+# x(g) = first-8-hex of md5(g) mod P, h_i = (a_i*x + b_i) mod P.
+from dxnn_ocr_cpp_spark.operators.dedup import (MH_A_MULT, MH_B_MULT,
+                                                MH_P)
+
 _MINHASH_MD5_CTE = f"""{_SHINGLE_CTE},
-    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    g AS (SELECT doc_id, unnest(sh) AS gr FROM sh),
+    gx AS (SELECT doc_id,
+             CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) % {MH_P} AS x
+           FROM g),
     mh AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || g)) AS h
-      FROM g CROSS JOIN (SELECT unnest(range(0, 64)) AS seed)
+      SELECT doc_id, seed,
+             min((x * (({MH_A_MULT} * (seed + 1)) % {MH_P})
+                  + (({MH_B_MULT} * (seed + 7)) % {MH_P})) % {MH_P}) AS h
+      FROM gx CROSS JOIN (SELECT unnest(range(0, 64)) AS seed)
       GROUP BY doc_id, seed),
     bands AS (
       SELECT doc_id, seed // 4 AS band,

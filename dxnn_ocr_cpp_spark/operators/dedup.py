@@ -172,6 +172,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ---------- MinHash + LSH ----------
 
+# md5-family universal hashing: x(g) = int(md5(g)[:8 hex]) mod P, then
+# h_i(x) = (a_i * x + b_i) mod P with P the Mersenne prime 2^31-1.
+# P prime makes every h_i a BIJECTION on Z_P (a_i != 0 mod P), i.e. a
+# true permutation — the textbook Carter-Wegman family, not a mixing
+# heuristic. ONE md5 per gram (the old family paid num_perm of them)
+# plus integer affine maps both engines replay exactly: no overflow
+# (a, x < P  =>  a*x < 2^62) under Spark ANSI or DuckDB BIGINT.
+MH_P = 2_147_483_647
+MH_A_MULT = 2_654_435_761       # Knuth multiplicative constants —
+MH_B_MULT = 40_503              # any fixed nonzero residues work
+def mh_affine_consts(i: int) -> tuple[int, int]:
+    return ((MH_A_MULT * (i + 1)) % MH_P, (MH_B_MULT * (i + 7)) % MH_P)
+
+
+def _md5_gram_int(g):
+    """First 8 md5 hex chars as an integer, reduced mod MH_P —
+    the gram's point in Z_P (DuckDB: CAST('0x'||substr(md5(g),1,8)
+    AS BIGINT) % P)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        F.lit(MH_P))
+
+
+def _mh_affine(i: int):
+    a, b = mh_affine_consts(i)
+    return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MH_P))
+
+
 def minhash_signature(shingles_col, num_perm: int = 64,
                       hash_family: str = "xxhash64"):
     """num_perm minhashes via a seeded hash family: h_i(S) = min over
@@ -181,11 +209,16 @@ def minhash_signature(shingles_col, num_perm: int = 64,
     hash_family:
       xxhash64  production default over int64 shingle hashes (JVM
                 intrinsic, engine-specific mixing)
-      md5       over gram STRINGS: h_i(g) = md5('i:' || g), minimum
-                taken lexicographically over the hex digests. Slower
-                (string keys) but bit-replayable in ANY engine with
-                md5 — this family powers the DuckDB oracle that proves
-                the banding/join/verify logic end-to-end."""
+      md5       over gram STRINGS: h_i(g) = (a_i * x(g) + b_i) mod P
+                with x(g) the first 8 md5 hex chars of the gram (see
+                mh_affine_consts/_md5_gram_int). Bit-replayable in ANY
+                engine with md5 — this family powers the DuckDB oracle
+                that proves the banding/join/verify logic end-to-end.
+                NOTE: as a pure Column function this inlines the md5
+                transform into every seed; minhash_lsh_pairs stages
+                the x(g) array in its own projection so the md5 pass
+                runs ONCE (CollapseProject keeps non-cheap multi-use
+                aliases staged)."""
     # seed capture MUST be a closure factory, not a `lambda s, i=i:`
     # default arg — pyspark counts the lambda's parameters, and a
     # second parameter silently selects transform's binary
@@ -196,11 +229,14 @@ def minhash_signature(shingles_col, num_perm: int = 64,
     # (caught by the md5-family DuckDB oracle; pinned by
     # test_dedup.py::test_minhash_signature_agreement).
     if hash_family == "md5":
-        def _h(i):
-            return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
-    else:
-        def _h(i):
-            return lambda s: F.xxhash64(s, F.lit(i))
+        xs = F.transform(shingles_col, _md5_gram_int)
+        return F.array(*[
+            F.array_min(F.transform(xs, _mh_affine(i)))
+            for i in range(num_perm)
+        ])
+
+    def _h(i):
+        return lambda s: F.xxhash64(s, F.lit(i))
     return F.array(*[
         F.array_min(F.transform(shingles_col, _h(i)))
         for i in range(num_perm)
@@ -322,13 +358,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # isn't serialized on one core (no-op at cluster scale)
     df = ensure_min_partitions(df)
     if hash_family == "md5":
-        # oracle-replayable family: string grams + md5 HOF signature
-        # (both DuckDB-expressible; this path certifies the pair-mining
-        # logic, speed is not its job)
+        # oracle-replayable family: string grams -> ONE md5 pass into
+        # Z_P points (staged so CollapseProject cannot inline the md5
+        # transform into all num_perm seed minima — multi-use non-cheap
+        # aliases stay staged), then integer affine permutation minima
         sh = df.select(F.col(id_col).alias("id"),
                        word_grams(F.col(text_col), n).alias("sh"))
-        sig = sh.withColumn(
-            "sig", minhash_signature(F.col("sh"), num_perm, hash_family))
+        staged = sh.select("id", "sh",
+                           F.transform("sh", _md5_gram_int).alias("__xs"))
+        sig = staged.select(
+            "id", "sh",
+            F.array(*[F.array_min(F.transform(F.col("__xs"),
+                                              _mh_affine(i)))
+                      for i in range(num_perm)]).alias("sig"))
     else:
         # production family: fused shingle+signature Arrow kernel (the
         # 64 interpreted HOF transforms were the query's hot spot)
@@ -344,9 +386,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         cols = [F.col("sig")[b * rows_per_band + r]
                 for r in range(rows_per_band)]
         if hash_family == "md5":
-            # oracle-replayable: the band key is the '|'-joined hex
-            # minhashes themselves (string_agg ORDER BY i in SQL)
-            return F.concat_ws("|", *cols)
+            # oracle-replayable: the band key is the '|'-joined integer
+            # minhashes themselves (string_agg ORDER BY seed in SQL)
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
         return F.xxhash64(*cols)
 
     def band_structs():

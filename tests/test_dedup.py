@@ -149,16 +149,21 @@ def test_minhash_recall_matches_exact_at_test_sf(spark):
 
 
 def test_minhash_md5_family_replayable(spark):
-    """The md5 family's whole point: h_i(g) = md5('i:'||g) must be
-    reproducible with stdlib hashlib (== any engine's md5)."""
+    """The md5 family's whole point: h_i(g) = (a_i * x(g) + b_i) mod P
+    with x(g) = first-8-hex of md5(g) mod P must be reproducible with
+    stdlib hashlib + integer arithmetic (== any engine with md5)."""
     import hashlib
 
-    from dxnn_ocr_cpp_spark.operators.dedup import minhash_signature
+    from dxnn_ocr_cpp_spark.operators.dedup import (MH_P,
+                                                    mh_affine_consts,
+                                                    minhash_signature)
 
     grams = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
     df = spark.createDataFrame([(grams,)], "sh: array<string>")
     got = df.select(
         minhash_signature(F.col("sh"), 8, "md5").alias("sig")).first().sig
-    want = [min(hashlib.md5(f"{i}:{g}".encode()).hexdigest() for g in grams)
-            for i in range(8)]
+    xs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % MH_P
+          for g in grams]
+    want = [min((a * x + b) % MH_P for x in xs)
+            for a, b in (mh_affine_consts(i) for i in range(8))]
     assert got == want
