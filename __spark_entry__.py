@@ -552,6 +552,23 @@ def q_media_pipeline(spark, sf_dir):
                      .alias("n_frames")))
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL codec-free media decode certification
+    (operators/multimodal.py decode_image/decode_wav): synthesize
+    solid-color PPM/BMP images and constant-amplitude PCM16 WAV audio
+    with ground truth planted as pure integer functions of doc_id
+    (synthesize_media), byte-decode them back (decode_media), and emit
+    the measured facts. The DuckDB oracle replays the planted
+    arithmetic WITHOUT touching bytes — equality certifies the
+    byte-level decoders recover every planted value, incl. the
+    truncated-payload rows degrading per-row to decode-error."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.multimodal import (decode_media,
+                                                         synthesize_media)
+    d = _t(spark, sf_dir, "documents")
+    return decode_media(synthesize_media(d.select("doc_id")))
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction: events.props is a JSON object
     (the WARC-record-metadata analog — crawl pipelines carry per-page
@@ -1678,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
         "semantic_dedup": q_semantic_dedup,
         "media_pipeline": q_media_pipeline,
+        "media_decode": q_media_decode,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -2139,6 +2157,48 @@ ORACLES: dict[str, str] = {
                     THEN greatest(CAST(trunc(duration_ms / 1000.0) AS BIGINT), 1)
                     ELSE 0 END AS n_frames
         FROM r
+    """,
+    # Mirrors q_media_decode: the planted-value arithmetic of
+    # synthesize_media replayed as pure doc_id integer functions —
+    # the oracle never touches payload bytes, so a value match
+    # certifies decode_image/decode_wav read them back correctly
+    # (solid-color mean == planted channel; constant-amplitude
+    # mean|x| == planted amp; truncated rows -> decode-error nulls).
+    "media_decode": """
+        WITH m AS (
+          SELECT doc_id,
+                 doc_id % 3 AS sel,
+                 doc_id % 17 = 0 AS corrupt,
+                 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+                 (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+                 (doc_id * 83) % 256 AS b,
+                 200 + doc_id % 50 AS n, (doc_id * 29) % 2000 AS amp,
+                 8000 + (doc_id % 5) * 1000 AS rate
+          FROM documents)
+        SELECT 'm' || doc_id AS media_id,
+               CASE WHEN corrupt THEN NULL
+                    WHEN sel = 0 THEN 'ppm'
+                    WHEN sel = 1 THEN 'bmp'
+                    ELSE 'wav' END AS fmt,
+               CAST(CASE WHEN NOT corrupt AND sel < 2 THEN w END
+                    AS INTEGER) AS width,
+               CAST(CASE WHEN NOT corrupt AND sel < 2 THEN h END
+                    AS INTEGER) AS height,
+               CAST(CASE WHEN NOT corrupt AND sel < 2 THEN r END
+                    AS INTEGER) AS mean_r,
+               CAST(CASE WHEN NOT corrupt AND sel < 2 THEN g END
+                    AS INTEGER) AS mean_g,
+               CAST(CASE WHEN NOT corrupt AND sel < 2 THEN b END
+                    AS INTEGER) AS mean_b,
+               CAST(CASE WHEN NOT corrupt AND sel = 2 THEN n END
+                    AS INTEGER) AS n_samples,
+               CAST(CASE WHEN NOT corrupt AND sel = 2 THEN amp END
+                    AS INTEGER) AS mean_abs,
+               CAST(CASE WHEN NOT corrupt AND sel = 2 THEN rate END
+                    AS INTEGER) AS sample_rate,
+               CASE WHEN corrupt THEN 'decode-error'
+                    ELSE 'decoded' END AS decode_status
+        FROM m
     """,
     "events_json_props": """
         SELECT event_type,

@@ -100,6 +100,7 @@ HEADLINE = [
     "pdf_roundtrip",
     "curate_keeplist",
     "media_pipeline",
+    "media_decode",
     "events_asof_join",
     "dataset_split",
     "sketch_accuracy",
