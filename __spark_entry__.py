@@ -569,6 +569,40 @@ def q_media_decode(spark, sf_dir):
     return decode_media(synthesize_media(d.select("doc_id")))
 
 
+_MOJIBAKE_PLANTS = ["é", "“", "€", "中", "Ã"]
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair certification (curation.fix_mojibake, pure
+    Catalyst encode/decode inverse): plant one non-ASCII char per doc
+    (doc_id%5 picks latin-1 'e-acute', curly quote, euro, CJK, lone
+    'A-tilde' — covering the latin1-only and false-positive gates),
+    MANGLE every doc_id%3==1 row by re-decoding its UTF-8 bytes as
+    Latin-1 (the classic upstream bug, same Catalyst encode/decode),
+    then repair. The DuckDB oracle computes md5 of the PLANTED
+    original without any charset machinery — a value match proves the
+    repair inverted the mangle exactly and never touched clean rows."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    orig = F.concat(
+        F.element_at(F.array(*[F.lit(p) for p in _MOJIBAKE_PLANTS]),
+                     (did % 5 + 1).cast("int")),
+        F.lit(" "), F.col("text"))
+    mangled = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    feed = d.select(
+        "doc_id",
+        (did % 3 == 1).alias("was_mangled"),
+        F.when(did % 3 == 1, mangled).otherwise(orig).alias("text"))
+    out = fix_mojibake(feed)
+    return out.select(
+        "doc_id", "was_mangled",
+        F.col("fixed_applied").alias("changed"),
+        F.md5(F.col("fixed")).alias("fixed_md5"))
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction: events.props is a JSON object
     (the WARC-record-metadata analog — crawl pipelines carry per-page
@@ -1696,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "media_pipeline": q_media_pipeline,
         "media_decode": q_media_decode,
+        "fix_mojibake": q_fix_mojibake,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -2157,6 +2192,21 @@ ORACLES: dict[str, str] = {
                     THEN greatest(CAST(trunc(duration_ms / 1000.0) AS BIGINT), 1)
                     ELSE 0 END AS n_frames
         FROM r
+    """,
+    # Mirrors q_fix_mojibake WITHOUT any charset machinery: DuckDB
+    # only rebuilds the planted original (plant char || ' ' || text)
+    # and hashes it. Spark must mangle, gate, and invert byte-exactly
+    # to produce the same md5 — and must NOT alter the clean rows
+    # (a false-positive repair flips both changed and the hash).
+    "fix_mojibake": """
+        SELECT doc_id,
+               doc_id % 3 = 1 AS was_mangled,
+               doc_id % 3 = 1 AS changed,
+               md5(CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 0 THEN 'é' WHEN 1 THEN '“'
+                     WHEN 2 THEN '€' WHEN 3 THEN '中'
+                     ELSE 'Ã' END || ' ' || text) AS fixed_md5
+        FROM documents
     """,
     # Mirrors q_media_decode: the planted-value arithmetic of
     # synthesize_media replayed as pure doc_id integer functions —

@@ -111,6 +111,7 @@ HEADLINE = [
     "repetition_filters",
     "decontaminate",
     "nfc_normalize",
+    "fix_mojibake",
     "url_canonicalize",
     "line_dedup",
     "chunk_documents",

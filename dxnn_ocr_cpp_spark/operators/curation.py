@@ -552,3 +552,56 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                     (F.col("n_lines") - F.coalesce(F.col("n_kept"),
                                                    F.lit(0))
                      ).cast("long").alias("n_dropped")))
+
+
+# ---------- mojibake repair (ftfy-class double-encoding fix) ----------
+
+# A UTF-8 byte sequence read back as Latin-1 shows a lead-byte char
+# (U+00C2..U+00F4) immediately followed by a continuation-byte char
+# (U+0080..U+00BF) — the precise bigram signature of mojibake. A plain
+# accented word ('caf\u00e9') never matches: its non-ASCII chars are
+# not followed by continuation-range chars.
+MOJIBAKE_SIG_RE = "[\u00C2-\u00F4][\u0080-\u00BF]"
+_NON_LATIN1_RE = "[^\u0000-\u00FF]"
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 out_col: str = "fixed") -> DataFrame:
+    """Repair the dominant web mojibake class — UTF-8 bytes that were
+    decoded as Latin-1 somewhere upstream ('\u00e9' shown as
+    '\u00c3\u00a9', '\u20ac' as '\u00e2\u0082\u00ac') — by
+    inverting the mis-decode: re-encode the characters as Latin-1 and
+    decode the bytes as UTF-8. Pure Catalyst (JVM `encode`/`decode`),
+    zero Python, zero shuffle.
+
+    Three per-row gates keep the inverse total and false-positive-safe:
+      1. the text matches MOJIBAKE_SIG_RE (lead+continuation bigram);
+      2. every char is in the Latin-1 range (else the re-encode is not
+         byte-faithful — genuine CJK/emoji text is never touched);
+      3. the round trip produced no U+FFFD (the candidate bytes were
+         not actually valid UTF-8 — e.g. a lone '\u00c3' in clean
+         text).
+    Rows failing any gate pass through unchanged; `<out_col>_applied`
+    records which rows were repaired. One pass fixes single
+    double-encoding; run twice for the rarer triple-encoded class.
+
+    Requires spark.sql.legacy.codingErrorAction=true (set here,
+    session-wide): Spark 4's default raises on unmappable/malformed
+    chars, the legacy mode substitutes '?'/U+FFFD which gate 3 then
+    detects — a total function either way, per-row contained.
+
+    Reference analog: the charset sniff + re-decode branch of input
+    normalization (P1/P9, htmlseg.decode_html; the reference
+    normalizes inputs before any stage sees them,
+    /root/reference/src/preprocessing/image_ops.cpp).
+    """
+    df.sparkSession.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    c = F.col(text_col)
+    rt = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    candidate = (c.rlike(MOJIBAKE_SIG_RE)
+                 & ~c.rlike(_NON_LATIN1_RE))
+    # lazy CaseWhen: rt is only evaluated where candidate holds, and
+    # legacy coding mode makes it total there
+    repaired = F.when(candidate & ~rt.contains("\ufffd"), rt).otherwise(c)
+    return (df.withColumn(out_col, repaired)
+              .withColumn(f"{out_col}_applied", repaired != c))

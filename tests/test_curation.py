@@ -355,3 +355,69 @@ class TestC4LineFilters:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestFixMojibake:
+    """Gates + inverse exactness of the encode/decode mojibake repair."""
+
+    CASES = [
+        # (input, expected_fixed, expected_applied)
+        ("caf\u00c3\u00a9 au lait", "caf\u00e9 au lait", True),
+        # euro double-encoded: 'a-circ' + U+0082 + U+00AC
+        ("price \u00e2\u0082\u00ac5", "price \u20ac5", True),
+        # clean accented text: signature bigram never matches
+        ("caf\u00e9 cr\u00e8me", "caf\u00e9 cr\u00e8me", False),
+        # genuine CJK: outside latin-1, gate 2 refuses the re-encode
+        ("\u4e2d\u6587 text", "\u4e2d\u6587 text", False),
+        # lone lead-byte char with no continuation char: no signature
+        ("\u00c3 capital letter", "\u00c3 capital letter", False),
+        # signature bigram but INVALID utf-8 ('A-tilde' + space + DEL
+        # region): U+FFFD gate refuses
+        ("x \u00c3\u0081\u00c3 y", "\u00c1\u00c3", None),
+        ("plain ascii", "plain ascii", False),
+        ("", "", False),
+    ]
+
+    def test_gates_and_inverse(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+
+        rows = [(i, c[0]) for i, c in enumerate(self.CASES)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r.id: r for r in fix_mojibake(df).collect()}
+        for i, (src, want, applied) in enumerate(self.CASES):
+            if applied is None:     # repaired iff round trip was valid
+                continue
+            assert got[i].fixed == want, (i, src)
+            assert got[i].fixed_applied == applied, (i, src)
+
+    def test_whole_row_validity_gate(self, spark):
+        # 'A-tilde'+U+0081 alone IS valid utf-8 (C3 81 -> U+00C1) and
+        # repairs; adding a lone trailing 'A-tilde' makes the WHOLE
+        # byte string invalid utf-8, so the U+FFFD gate refuses the
+        # row outright (per-row containment, no partial rewrites)
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+        df = spark.createDataFrame(
+            [(0, "x \u00c3\u0081 y"),
+             (1, "x \u00c3\u0081\u00c3 y")], "id long, text string")
+        got = {r.id: r for r in fix_mojibake(df).collect()}
+        assert got[0].fixed == "x \u00c1 y" and got[0].fixed_applied
+        assert got[1].fixed == "x \u00c3\u0081\u00c3 y"
+        assert not got[1].fixed_applied
+
+    def test_plan_pure_catalyst(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+        df = spark.createDataFrame([(0, "a")], "id long, text string")
+        plan = fix_mojibake(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_idempotent_on_clean_output(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+        df = spark.createDataFrame(
+            [(0, "caf\u00c3\u00a9"), (1, "ok")], "id long, text string")
+        once = fix_mojibake(df).select(
+            "id", F.col("fixed").alias("text"))
+        twice = {r.id: r for r in fix_mojibake(once).collect()}
+        assert twice[0].fixed == "caf\u00e9"
+        assert not twice[0].fixed_applied and not twice[1].fixed_applied
