@@ -569,6 +569,110 @@ def q_media_decode(spark, sf_dir):
     return decode_media(synthesize_media(d.select("doc_id")))
 
 
+def q_sitemap_harvest(spark, sf_dir):
+    """Crawl-frontier harvesting (operators/feeds.py sitemap_entries):
+    build sitemaps.org XML from doc_id arithmetic IN CATALYST (urlset
+    docs with 1-5 <url> entries carrying entity-escaped locs, padded
+    whitespace, and conditional <lastmod>; every 13th doc is a
+    sitemapindex of 2 child sitemaps), parse it back with the real
+    regexp grammar, one explode. The DuckDB oracle recomputes the
+    expected rows from the SAME arithmetic without touching XML — a
+    match certifies block split, field extraction, trim, and entity
+    decode (the media_decode planted-ground-truth discipline)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.feeds import sitemap_entries
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), (did % 23).cast("string"),
+                    F.lit(".ex.com"))
+    is_idx = did % 13 == 0
+    n = F.when(is_idx, F.lit(2).cast("long")).otherwise(did % 5 + 1)
+
+    def url_entry(i):
+        loc = F.concat(host, F.lit("/p/"), did.cast("string"),
+                       F.lit("/"), i.cast("string"), F.lit("&amp;x"))
+        lastmod = F.when(
+            (did + i) % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-0"),
+                     ((did + i) % 9 + 1).cast("string"),
+                     F.lit("-15</lastmod>"))).otherwise(F.lit(""))
+        return F.concat(F.lit("<url><loc>  "), loc, F.lit(" </loc>"),
+                        lastmod, F.lit("</url>"))
+
+    def sm_entry(i):
+        return F.concat(F.lit("<sitemap><loc>"), host,
+                        F.lit("/sitemap-"), i.cast("string"),
+                        F.lit(".xml</loc></sitemap>"))
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n - 1),
+                    lambda i: F.when(is_idx, sm_entry(i))
+                               .otherwise(url_entry(i))), "")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+        F.when(is_idx,
+               F.concat(F.lit("<sitemapindex>"), body,
+                        F.lit("</sitemapindex>")))
+         .otherwise(F.concat(F.lit("<urlset>"), body,
+                             F.lit("</urlset>"))))
+    out = sitemap_entries(d.select("doc_id", xml.alias("xml")))
+    # absent lastmod -> '' in the DRIVER artifact only: hash/sort
+    # neutrality across compare harnesses (the operator itself keeps
+    # NULL-for-absent semantics, pinned in tests/test_feeds.py)
+    return out.withColumn("lastmod",
+                          F.coalesce(F.col("lastmod"), F.lit("")))
+
+
+def q_rss_harvest(spark, sf_dir):
+    """Feed parsing (operators/feeds.py feed_entries): even doc_ids
+    synthesize RSS 2.0 (<item> with <link> body text + <pubDate>,
+    conditionally absent), odd doc_ids Atom (xmlns-detected, <entry>
+    with self-closing <link href=.../> + <updated>). Planted
+    arithmetic oracle as in q_sitemap_harvest."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.feeds import feed_entries
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    is_rss = did % 2 == 0
+    n = did % 4 + 1
+
+    def mklink(i):
+        return F.concat(F.lit("https://h"), (did % 23).cast("string"),
+                        F.lit(".ex.com/a/"), did.cast("string"),
+                        F.lit("/"), i.cast("string"))
+
+    def rss_item(i):
+        pub = F.when((did + i) % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<pubDate>2024-01-0"),
+                     ((did + i) % 9 + 1).cast("string"),
+                     F.lit("</pubDate>")))
+        return F.concat(F.lit("<item><title>T "), did.cast("string"),
+                        F.lit(" "), i.cast("string"),
+                        F.lit("&amp;z</title><link> "), mklink(i),
+                        F.lit(" </link>"), pub, F.lit("</item>"))
+
+    def atom_entry(i):
+        return F.concat(F.lit("<entry><title>T "), did.cast("string"),
+                        F.lit(" "), i.cast("string"),
+                        F.lit('</title><link rel="alternate" href="'),
+                        mklink(i),
+                        F.lit('"/><updated>2024-02-0'),
+                        ((did + i) % 9 + 1).cast("string"),
+                        F.lit("</updated></entry>"))
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n - 1),
+                    lambda i: F.when(is_rss, rss_item(i))
+                               .otherwise(atom_entry(i))), "")
+    xml = F.when(is_rss,
+                 F.concat(F.lit("<rss><channel>"), body,
+                          F.lit("</channel></rss>"))) \
+        .otherwise(F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'), body,
+            F.lit("</feed>")))
+    return feed_entries(d.select("doc_id", xml.alias("xml")))
+
+
 _MOJIBAKE_PLANTS = ["é", "“", "€", "中", "Ã"]
 
 
@@ -1731,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "media_decode": q_media_decode,
         "fix_mojibake": q_fix_mojibake,
+        "sitemap_harvest": q_sitemap_harvest,
+        "rss_harvest": q_rss_harvest,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -2192,6 +2298,56 @@ ORACLES: dict[str, str] = {
                     THEN greatest(CAST(trunc(duration_ms / 1000.0) AS BIGINT), 1)
                     ELSE 0 END AS n_frames
         FROM r
+    """,
+    # Mirrors q_sitemap_harvest with NO XML at all: the expected rows
+    # are recomputed from the same doc_id arithmetic the Catalyst
+    # fixture used to BUILD the XML, so equality certifies the whole
+    # parse chain (block split, trim, entity decode, conditional
+    # lastmod, urlset-vs-index detection).
+    "sitemap_harvest": """
+        WITH m AS (
+          SELECT doc_id, doc_id % 13 = 0 AS idx,
+                 CASE WHEN doc_id % 13 = 0 THEN 2
+                      ELSE doc_id % 5 + 1 END AS n
+          FROM documents),
+        e AS (SELECT doc_id, idx, unnest(range(n)) AS i FROM m)
+        SELECT doc_id,
+               CASE WHEN idx THEN 'sitemapindex'
+                    ELSE 'urlset' END AS kind,
+               CAST(i AS INTEGER) AS pos,
+               CASE WHEN idx
+                    THEN 'https://h' || (doc_id % 23)
+                         || '.ex.com/sitemap-' || i || '.xml'
+                    ELSE 'https://h' || (doc_id % 23) || '.ex.com/p/'
+                         || doc_id || '/' || i || '&x'
+               END AS loc,
+               CASE WHEN NOT idx AND (doc_id + i) % 2 = 0
+                    THEN '2024-0' || ((doc_id + i) % 9 + 1) || '-15'
+                    ELSE '' END AS lastmod
+        FROM e
+    """,
+    # Mirrors q_rss_harvest: same planted arithmetic, covering the
+    # RSS link-body-text form, the Atom href-attribute form, the
+    # xmlns-based dialect split, and the conditionally-absent pubDate.
+    "rss_harvest": """
+        WITH m AS (
+          SELECT doc_id, doc_id % 2 = 0 AS rss, doc_id % 4 + 1 AS n
+          FROM documents),
+        e AS (SELECT doc_id, rss, unnest(range(n)) AS i FROM m)
+        SELECT doc_id,
+               CASE WHEN rss THEN 'rss' ELSE 'atom' END AS kind,
+               CAST(i AS INTEGER) AS pos,
+               'https://h' || (doc_id % 23) || '.ex.com/a/'
+                 || doc_id || '/' || i AS link,
+               CASE WHEN rss THEN 'T ' || doc_id || ' ' || i || '&z'
+                    ELSE 'T ' || doc_id || ' ' || i END AS title,
+               CASE WHEN rss
+                    THEN (CASE WHEN (doc_id + i) % 3 = 0 THEN NULL
+                               ELSE '2024-01-0'
+                                    || ((doc_id + i) % 9 + 1) END)
+                    ELSE '2024-02-0' || ((doc_id + i) % 9 + 1)
+               END AS published
+        FROM e
     """,
     # Mirrors q_fix_mojibake WITHOUT any charset machinery: DuckDB
     # only rebuilds the planted original (plant char || ' ' || text)

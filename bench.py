@@ -112,6 +112,8 @@ HEADLINE = [
     "decontaminate",
     "nfc_normalize",
     "fix_mojibake",
+    "sitemap_harvest",
+    "rss_harvest",
     "url_canonicalize",
     "line_dedup",
     "chunk_documents",

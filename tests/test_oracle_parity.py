@@ -43,7 +43,11 @@ def canon(v):
 
 
 def rowset(rows):
-    return sorted(tuple(canon(x) for x in r) for r in rows)
+    # key=repr: None-safe total order (None vs str comparisons raise
+    # under plain tuple sort); any deterministic key gives identical
+    # sorted lists for equal multisets, and equality still compares
+    # the canonical tuples themselves
+    return sorted((tuple(canon(x) for x in r) for r in rows), key=repr)
 
 
 ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
