@@ -623,6 +623,54 @@ def q_sitemap_harvest(spark, sf_dir):
                           F.coalesce(F.col("lastmod"), F.lit("")))
 
 
+def q_robots_parse(spark, sf_dir):
+    """robots.txt PARSING certification (urls.parse_robots, the
+    zero-shuffle aggregate() fold): synthesize robots.txt bodies from
+    doc_id arithmetic in Catalyst — 1-3 groups per doc, each with 1-2
+    consecutive User-agent lines and 1-3 Allow/Disallow rules,
+    trailing comments on rule lines, blank separator lines, and the
+    empty-path 'Disallow:' idiom planted every 5th (doc+group+rule) —
+    parse them back with the real fold, and let the DuckDB oracle
+    recompute the expected (host, agent, allow, prefix) rows from the
+    same arithmetic with no text at all. Pairs with robots_gate
+    (parse -> gate is the full robots pipeline)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import parse_robots
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = did % 3 + 1
+
+    def group_txt(j):
+        na = (did + j) % 2 + 1
+        nr = (did * 7 + j) % 3 + 1
+        uas = F.array_join(F.transform(
+            F.sequence(F.lit(0).cast("long"), na - 1),
+            lambda a: F.concat(
+                F.lit("User-agent: "),
+                F.when(a == 0, F.concat(F.lit("bot"), j.cast("string")))
+                 .otherwise(F.concat(F.lit("crawler"),
+                                     j.cast("string"))))), "\n")
+        rules = F.array_join(F.transform(
+            F.sequence(F.lit(0).cast("long"), nr - 1),
+            lambda k: F.when((did + j + k) % 5 == 0, F.lit("Disallow:"))
+            .otherwise(F.concat(
+                F.when((did + j + k) % 2 == 0, F.lit("Allow: "))
+                 .otherwise(F.lit("Disallow: ")),
+                F.lit("/p"), j.cast("string"), F.lit("/"),
+                k.cast("string"), F.lit(" # trailing comment")))), "\n")
+        return F.concat(uas, F.lit("\n"), rules)
+
+    txt = F.concat(
+        F.lit("# synthetic robots\n\n"),
+        F.array_join(F.transform(F.sequence(F.lit(0).cast("long"),
+                                            g - 1), group_txt),
+                     "\n\n"))
+    host = F.concat(F.lit("h"), (did % 23).cast("string"),
+                    F.lit(".ex.com"))
+    return parse_robots(
+        d.select(host.alias("host"), txt.alias("robots_txt")))
+
+
 def q_rss_harvest(spark, sf_dir):
     """Feed parsing (operators/feeds.py feed_entries): even doc_ids
     synthesize RSS 2.0 (<item> with <link> body text + <pubDate>,
@@ -1837,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
+        "robots_parse": q_robots_parse,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -2325,6 +2374,26 @@ ORACLES: dict[str, str] = {
                     THEN '2024-0' || ((doc_id + i) % 9 + 1) || '-15'
                     ELSE '' END AS lastmod
         FROM e
+    """,
+    # Mirrors q_robots_parse: the expected rule rows recomputed from
+    # the planted arithmetic with no text — three chained unnests
+    # (groups, agents, rules), the empty-path idiom filtered exactly
+    # where the fixture planted it.
+    "robots_parse": """
+        WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS g FROM documents),
+        j AS (SELECT doc_id, unnest(range(g)) AS j FROM d),
+        ja AS (SELECT doc_id, j, 1 + (doc_id + j) % 2 AS na,
+                      1 + (doc_id * 7 + j) % 3 AS nr
+               FROM j),
+        a AS (SELECT doc_id, j, nr, unnest(range(na)) AS a FROM ja),
+        k AS (SELECT doc_id, j, a, unnest(range(nr)) AS k FROM a)
+        SELECT 'h' || (doc_id % 23) || '.ex.com' AS host,
+               CASE WHEN a = 0 THEN 'bot' || j
+                    ELSE 'crawler' || j END AS agent,
+               (doc_id + j + k) % 2 = 0 AS allow,
+               '/p' || j || '/' || k AS prefix
+        FROM k
+        WHERE (doc_id + j + k) % 5 <> 0
     """,
     # Mirrors q_rss_harvest: same planted arithmetic, covering the
     # RSS link-body-text form, the Atom href-attribute form, the

@@ -114,6 +114,7 @@ HEADLINE = [
     "fix_mojibake",
     "sitemap_harvest",
     "rss_harvest",
+    "robots_parse",
     "url_canonicalize",
     "line_dedup",
     "chunk_documents",

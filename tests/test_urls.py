@@ -161,3 +161,82 @@ class TestRobotsGate:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestParseRobots:
+    """Grammar pins for the raw robots.txt -> rules-table fold."""
+
+    TXT = (
+        "# global rules\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok  # carve-out\n"
+        "\n"
+        "User-agent: googlebot\n"
+        "User-agent: bingbot\n"
+        "Disallow: /tmp/\n"
+        "Crawl-delay: 5\n"
+        "Disallow:\n"
+        "Disallow: /after-empty\n"
+        "User-agent: tail-no-rules\n"
+    )
+
+    def _parse(self, spark, txt):
+        from dxnn_ocr_cpp_spark.operators.urls import parse_robots
+        df = spark.createDataFrame([("ex.com", txt)],
+                                   "host string, robots_txt string")
+        return [tuple(r) for r in parse_robots(df).collect()]
+
+    def test_groups_agents_rules(self, spark):
+        got = self._parse(spark, self.TXT)
+        assert got == [
+            ("ex.com", "*", False, "/private/"),
+            ("ex.com", "*", True, "/private/ok"),      # comment stripped
+            ("ex.com", "googlebot", False, "/tmp/"),   # multi-UA group
+            ("ex.com", "bingbot", False, "/tmp/"),
+            # empty 'Disallow:' emitted nothing; the following rule
+            # still belongs to the same (googlebot, bingbot) agents
+            ("ex.com", "googlebot", False, "/after-empty"),
+            ("ex.com", "bingbot", False, "/after-empty"),
+            # trailing UA with no rules emits nothing
+        ]
+
+    def test_all_empty_group_does_not_leak_agents(self, spark):
+        txt = ("User-agent: a\nDisallow:\n"
+               "User-agent: b\nDisallow: /x\n")
+        assert self._parse(spark, txt) == [("ex.com", "b", False, "/x")]
+
+    def test_rules_before_any_ua_dropped(self, spark):
+        txt = "Disallow: /orphan\nUser-agent: a\nAllow: /ok\n"
+        assert self._parse(spark, txt) == [("ex.com", "a", True, "/ok")]
+
+    def test_case_insensitive_fields(self, spark):
+        txt = "USER-AGENT: A\nDISALLOW: /x\nallow: /y\n"
+        assert self._parse(spark, txt) == [
+            ("ex.com", "A", False, "/x"), ("ex.com", "A", True, "/y")]
+
+    def test_plan_zero_shuffle_zero_python(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import parse_robots
+        df = spark.createDataFrame([("ex.com", self.TXT)],
+                                   "host string, robots_txt string")
+        plan = parse_robots(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_feeds_robots_gate(self, spark):
+        """End-to-end: parse_robots output drives robots_gate."""
+        from dxnn_ocr_cpp_spark.operators.urls import (parse_robots,
+                                                       robots_gate)
+        rules_df = spark.createDataFrame(
+            [("ex.com", "User-agent: *\nDisallow: /private/\n"
+                        "Allow: /private/ok\n")],
+            "host string, robots_txt string")
+        rules = parse_robots(rules_df).select("host", "prefix", "allow")
+        urls = spark.createDataFrame(
+            [(1, "https://ex.com/private/x"),
+             (2, "https://ex.com/private/ok"),
+             (3, "https://ex.com/pub"),
+             (4, "https://other.com/private/x")], "id long, url string")
+        got = {r.id: r.allowed
+               for r in robots_gate(urls, rules).collect()}
+        assert got == {1: False, 2: True, 3: True, 4: True}
