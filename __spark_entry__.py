@@ -671,6 +671,74 @@ def q_robots_parse(spark, sf_dir):
         d.select(host.alias("host"), txt.alias("robots_txt")))
 
 
+def q_frontier_build(spark, sf_dir):
+    """THE composed crawl-frontier pipeline — every stage is the real
+    operator, chained: sitemap XML (Catalyst fixture, tracking params
+    + duplicate locs planted) -> sitemap_entries parse -> canonical_url
+    (strips utm_*) -> filter_blocklist (two planted blocked hosts) ->
+    parse_robots over per-host robots.txt bodies -> robots_gate ->
+    dedup with reference counts. Sitemapindex docs emit child-sitemap
+    rows, not pages, so they are excluded from the page frontier by
+    kind. The DuckDB oracle replays the URL arithmetic plus the SAME
+    generated canonicalization SQL (urls.oracle_url_sql) and the
+    planted block/robots predicates — one oracle certifies the whole
+    chain composing correctly."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.feeds import sitemap_entries
+    from dxnn_ocr_cpp_spark.operators.urls import (canonical_url,
+                                                   filter_blocklist,
+                                                   parse_robots,
+                                                   robots_gate)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), (did % 23).cast("string"),
+                    F.lit(".ex.com"))
+    is_idx = did % 13 == 0
+    n = F.when(is_idx, F.lit(2).cast("long")).otherwise(did % 5 + 1)
+
+    def url_entry(i):
+        # i%2 plants duplicate locs within a doc (dedup stage food);
+        # utm_source is canonicalization food
+        loc = F.concat(host, F.lit("/p/"), did.cast("string"),
+                       F.lit("/"), (i % 2).cast("string"),
+                       F.lit("?utm_source=t&amp;q="),
+                       (i % 2).cast("string"))
+        return F.concat(F.lit("<url><loc>"), loc, F.lit("</loc></url>"))
+
+    def sm_entry(i):
+        return F.concat(F.lit("<sitemap><loc>"), host,
+                        F.lit("/sitemap-"), i.cast("string"),
+                        F.lit(".xml</loc></sitemap>"))
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("long"), n - 1),
+                    lambda i: F.when(is_idx, sm_entry(i))
+                               .otherwise(url_entry(i))), "")
+    xml = F.when(is_idx, F.concat(F.lit("<sitemapindex>"), body,
+                                  F.lit("</sitemapindex>"))) \
+        .otherwise(F.concat(F.lit("<urlset>"), body, F.lit("</urlset>")))
+    pages = (sitemap_entries(d.select("doc_id", xml.alias("xml")))
+             .filter((F.col("kind") == "urlset")
+                     & F.col("loc").isNotNull())
+             .select(canonical_url(F.col("loc")).alias("url")))
+
+    blocklist = spark.createDataFrame(
+        [("h3.ex.com",), ("h7.ex.com",)], "domain string")
+    unblocked = filter_blocklist(pages, blocklist)
+
+    hosts = spark.range(23).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".ex.com")).alias("host"),
+        F.when(F.col("id") % 4 == 1,
+               F.lit("User-agent: *\nDisallow: /p/"))
+         .otherwise(F.lit("User-agent: *\nAllow: /")).alias("robots_txt"))
+    rules = parse_robots(hosts).select("host", "prefix", "allow")
+    gated = robots_gate(unblocked, rules).filter(F.col("allowed"))
+
+    return (gated.groupBy("url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_refs")))
+
+
 def q_rss_harvest(spark, sf_dir):
     """Feed parsing (operators/feeds.py feed_entries): even doc_ids
     synthesize RSS 2.0 (<item> with <link> body text + <pubDate>,
@@ -1886,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
         "robots_parse": q_robots_parse,
+        "frontier_build": q_frontier_build,
         "events_json_props": q_events_json_props,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -2739,6 +2808,33 @@ ORACLES["nfc_normalize"] = """
            md5(nfc_normalize(text2)) AS nfc_fp
     FROM inj
 """
+
+
+# Composed crawl-frontier twin (q_frontier_build): URL arithmetic +
+# the generated canonicalization SQL + the planted blocklist/robots
+# predicates, ending in the same dedup-with-counts. One oracle
+# certifies the sitemap-parse -> canonicalize -> blocklist -> robots
+# -> dedup CHAIN, not just its stages.
+def _frontier_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.urls import oracle_url_sql
+    return f"""
+    WITH m AS (
+      SELECT doc_id, doc_id % 23 AS k, doc_id % 5 + 1 AS n
+      FROM documents WHERE doc_id % 13 <> 0),
+    e AS (SELECT doc_id, k, unnest(range(n)) AS i FROM m),
+    r AS (SELECT doc_id, k,
+                 'https://h' || k || '.ex.com/p/' || doc_id || '/'
+                   || (i % 2) || '?utm_source=t&q=' || (i % 2) AS raw
+          FROM e),
+    c AS (SELECT {oracle_url_sql('raw')} AS url, k FROM r)
+    SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+    FROM c
+    WHERE k NOT IN (3, 7) AND k % 4 <> 1
+    GROUP BY url
+    """
+
+
+ORACLES["frontier_build"] = _frontier_oracle()
 
 
 # URL canonicalization twin: injection arithmetic inline, the

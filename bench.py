@@ -115,6 +115,7 @@ HEADLINE = [
     "sitemap_harvest",
     "rss_harvest",
     "robots_parse",
+    "frontier_build",
     "url_canonicalize",
     "line_dedup",
     "chunk_documents",
