@@ -76,3 +76,33 @@ class TestRelationalPlans:
     def test_brute_force_topk_broadcasts_queries(self, spark):
         plan = plan_of(entrymod.q_embedding_topk(spark, SF))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestFrontierPlan:
+    """The composed crawl-frontier job must stay broadcast-only on its
+    joins: blocklist suffixes and robots rules are KB-scale against a
+    10^12-row frontier, so any SortMergeJoin or cartesian in this plan
+    is a scale bug."""
+
+    def test_broadcast_only_no_cartesian(self, spark):
+        df = entrymod.queries()["frontier_build"](spark, SF)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # hash-exchange census (observed plan, pinned): ONE
+        # corpus-sized shuffle (the final dedup groupBy,
+        # partial-aggregated) + five KB-scale ones feeding broadcast
+        # builders (4 distincts for flag_blocked's chained suffix
+        # levels over the 2-row blocklist, 1 robots-rules per-host
+        # rollup over 23 hosts). Growth past 6 means a NEW corpus-side
+        # shuffle crept into the chain.
+        shuffles = plan.count("Exchange hashpartitioning")
+        assert 1 <= shuffles <= 6, \
+            f"expected 1 corpus + 5 tiny-side shuffles, got {shuffles}"
+        # the corpus path itself reaches the final groupBy unshuffled:
+        # documents scan -> parse -> canonicalize -> gates are all in
+        # one stage, so exactly ONE exchange sits above the parquet
+        # scan's stage (the url dedup)
+        assert "FileScan parquet" in plan
