@@ -240,3 +240,64 @@ class TestParseRobots:
         got = {r.id: r.allowed
                for r in robots_gate(urls, rules).collect()}
         assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+# ---------- property fuzz: parse_robots vs a sequential reference ----
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as _st
+
+
+def _ref_parse_robots(txt):
+    """Sequential pure-Python replay of parse_robots' documented
+    semantics — the independent reference the Catalyst fold must
+    match on ANY line soup (the bpe.py sequential-reference
+    discipline)."""
+    ag, run, out = [], False, []
+    for raw in txt.split("\n"):
+        ln = _re.sub("#.*$", "", raw).strip()
+        m_ua = _re.match(r"(?i)^user-agent:\s*(\S+)\s*$", ln)
+        m_rule = _re.match(r"(?i)^(allow|disallow):\s*(\S*)\s*$", ln)
+        if m_ua:
+            ag = ag + [m_ua.group(1)] if run else [m_ua.group(1)]
+            run = True
+        elif m_rule:
+            run = False
+            if m_rule.group(2):
+                out.extend((a, m_rule.group(1).lower() == "allow",
+                            m_rule.group(2)) for a in ag)
+    return out
+
+
+_tok = _st.sampled_from(["*", "bot", "crawler", "A-1", "x"])
+_path = _st.sampled_from(["/", "/a", "/a/b", "/p%20x", ""])
+_line = _st.one_of(
+    _tok.map(lambda t: f"User-agent: {t}"),
+    _tok.map(lambda t: f"USER-AGENT:   {t}"),
+    _st.tuples(_st.sampled_from(["Allow", "Disallow", "allow"]),
+               _path).map(lambda kv: f"{kv[0]}: {kv[1]}"),
+    _path.map(lambda p: f"Disallow: {p} # trailing"),
+    _st.sampled_from(["", "   ", "# comment", "Crawl-delay: 5",
+                      "Sitemap: https://ex.com/s.xml", "garbage line",
+                      "User-agent:", "Allow :/x"]),
+)
+_doc = _st.lists(_line, max_size=25).map("\n".join)
+
+
+class TestParseRobotsFuzz:
+    @settings(max_examples=12, deadline=None)
+    @given(_st.lists(_doc, min_size=1, max_size=20))
+    def test_fold_matches_sequential_reference(self, spark, docs):
+        from dxnn_ocr_cpp_spark.operators.urls import parse_robots
+        df = spark.createDataFrame(
+            [(f"h{i}", d) for i, d in enumerate(docs)],
+            "host string, robots_txt string")
+        got = {}
+        for r in parse_robots(df).collect():
+            got.setdefault(r.host, []).append(
+                (r.agent, r.allow, r.prefix))
+        for i, d in enumerate(docs):
+            assert got.get(f"h{i}", []) == _ref_parse_robots(d), (
+                f"doc {i}: {d!r}")
