@@ -1916,7 +1916,91 @@ def q_corpus_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry, ordered for the driver's correctness window.
+
+    The driver compares the FIRST 50 entries against ``oracle_sql()``
+    (rows + schema + value-hash at sf0.01); everything past the window
+    is still pinned by ``tests/test_oracle_parity.py`` but earns no
+    driver row. Ordering policy (round-3 fix for the round-2 blind
+    spot where 30 oracle-backed queries sat past position 50):
+
+      1. composed end-to-end pipelines (extraction, fuzzy dedup,
+         crawl frontier, curation, classifier, PageRank, DSIR, ...)
+      2. per-operator oracle twins for the LLM-data-pipeline family
+      3. TPC-H-ish / events / utility twins (all green since r1-r2;
+         the ones past the window keep their pytest oracle pin)
+      4. the genuinely hash-mixing-bound ``no_oracle`` families LAST
+         so they can never occupy a checkable slot.
+    """
     return {
+        # -- tier 1: composed pipelines (the engine's headline work) --
+        "extract_corpus": q_extract_corpus,
+        "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
+        "frontier_build": q_frontier_build,
+        "curate_keeplist": q_curate_keeplist,
+        "quality_classifier": q_quality_classifier,
+        "host_pagerank": q_host_pagerank,
+        "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "snapshot_diff": q_snapshot_diff,
+        # -- tier 2: LLM-data-pipeline operator twins --
+        "lang_spans": q_lang_spans,
+        "lm_quality": q_lm_quality,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
+        "page_meta": q_page_meta,
+        "html_tables": q_html_tables,
+        "tfidf_keywords": q_tfidf_keywords,
+        "link_graph": q_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "dataset_mix": q_dataset_mix,
+        "robots_gate": q_robots_gate,
+        "robots_parse": q_robots_parse,
+        "corpus_stats": q_corpus_stats,
+        "line_dedup": q_line_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "span_dedup": q_span_dedup,
+        "chunk_documents": q_chunk_documents,
+        "pack_shards": q_pack_shards,
+        "url_canonicalize": q_url_canonicalize,
+        "url_blocklist": q_url_blocklist,
+        "recrawl_latest": q_recrawl_latest,
+        "sitemap_harvest": q_sitemap_harvest,
+        "rss_harvest": q_rss_harvest,
+        "pii_redact": q_pii_redact,
+        "repetition_filters": q_repetition_filters,
+        "decontaminate": q_decontaminate,
+        "nfc_normalize": q_nfc_normalize,
+        "fix_mojibake": q_fix_mojibake,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
+        "winnow_pairs_md5": q_winnow_pairs_md5,
+        "embedding_topk": q_embedding_topk,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id_hist": q_lang_id_hist,
+        "media_decode": q_media_decode,
+        # ---- driver window (first 50) ends here ----
+        # -- tier 3: roundtrips / events / TPC-H twins (pytest-pinned) --
+        "media_pipeline": q_media_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
+        "pdf_roundtrip": q_pdf_roundtrip,
+        "base64_roundtrip": q_base64_roundtrip,
+        "validate_rejects": q_validate_rejects,
+        "events_asof_join": q_events_asof_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "latency_percentiles": q_latency_percentiles,
+        "url_host_salt_plan": q_url_host_salt_plan,
+        "quota_sample": q_quota_sample,
+        "sketch_accuracy": q_sketch_accuracy,
+        "dataset_split": q_dataset_split,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_cust": q_top_orders_per_cust,
         "cust_nation_region": q_cust_nation_region,
@@ -1924,79 +2008,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
-        "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "latency_percentiles": q_latency_percentiles,
-        "token_counts": q_token_counts,
-        "quality_scores": q_quality_scores,
-        "lang_id_hist": q_lang_id_hist,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # -- tier 4: no_oracle families (hash-mixing / iterative) LAST --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
         "simhash_pairs": q_simhash_pairs,
-        "simhash_pairs_md5": q_simhash_pairs_md5,
         "winnow_pairs": q_winnow_pairs,
-        "winnow_pairs_md5": q_winnow_pairs_md5,
-        "pdf_roundtrip": q_pdf_roundtrip,
-        "curate_keeplist": q_curate_keeplist,
-        "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "validate_rejects": q_validate_rejects,
-        "base64_roundtrip": q_base64_roundtrip,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_scale": q_embedding_cosine_dups_scale,
         "semantic_dedup": q_semantic_dedup,
-        "media_pipeline": q_media_pipeline,
-        "media_decode": q_media_decode,
-        "fix_mojibake": q_fix_mojibake,
-        "sitemap_harvest": q_sitemap_harvest,
-        "rss_harvest": q_rss_harvest,
-        "robots_parse": q_robots_parse,
-        "frontier_build": q_frontier_build,
-        "events_json_props": q_events_json_props,
-        "url_host_salt_plan": q_url_host_salt_plan,
-        "quota_sample": q_quota_sample,
-        "sketch_accuracy": q_sketch_accuracy,
-        "dataset_split": q_dataset_split,
-        "events_asof_join": q_events_asof_join,
-        "warc_roundtrip": q_warc_roundtrip,
-        "dedup_clusters": q_dedup_clusters,
-        "pii_redact": q_pii_redact,
-        "repetition_filters": q_repetition_filters,
-        "decontaminate": q_decontaminate,
-        "nfc_normalize": q_nfc_normalize,
-        "url_canonicalize": q_url_canonicalize,
-        "line_dedup": q_line_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "span_dedup": q_span_dedup,
-        "pack_shards": q_pack_shards,
-        "url_blocklist": q_url_blocklist,
-        "chunk_documents": q_chunk_documents,
-        "lm_quality": q_lm_quality,
-        "recrawl_latest": q_recrawl_latest,
-        "snapshot_diff": q_snapshot_diff,
-        "lm_ppl_buckets": q_lm_ppl_buckets,
-        "lang_spans": q_lang_spans,
-        "link_graph": q_link_graph,
-        "host_pagerank": q_host_pagerank,
-        "dataset_mix": q_dataset_mix,
-        "anchor_texts": q_anchor_texts,
-        "dsir_select": q_dsir_select,
-        "robots_gate": q_robots_gate,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
-        "page_meta": q_page_meta,
-        "html_tables": q_html_tables,
-        "tfidf_keywords": q_tfidf_keywords,
-        "c4_filters": q_c4_filters,
-        "gopher_rules": q_gopher_rules,
-        "quality_classifier": q_quality_classifier,
-        "dedup_canonical": q_dedup_canonical,
-        "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
-        "corpus_stats": q_corpus_stats,
-        "extract_corpus": q_extract_corpus,
     }
 
 

@@ -61,6 +61,15 @@ def _read_pnm_header(b: bytes):
             raise ValueError("pnm: truncated header")
         vals.append(int(b[i:j]))
         i = j
+    # exactly one whitespace byte separates maxval from the raster —
+    # verify it IS whitespace (a non-space byte here means a malformed
+    # header, not a raster that starts early), and absorb a CRLF pair
+    # written as the separator so the raster offset is never skewed by
+    # one byte (which would silently shift every pixel).
+    if i >= n or not b[i:i + 1].isspace():
+        raise ValueError("pnm: missing raster separator")
+    if b[i:i + 1] == b"\r" and b[i + 1:i + 2] == b"\n":
+        i += 1
     return vals[0], vals[1], vals[2], i + 1
 
 
@@ -139,6 +148,13 @@ def decode_wav(payload: bytes):
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         sz = struct.unpack_from("<I", b, i + 4)[0]
+        if i + 8 + sz > len(b):
+            # a declared size past the buffer end means a truncated or
+            # corrupt file: surface it as a decode-error rather than
+            # silently returning fewer samples as a successful decode
+            raise ValueError("wav: chunk size exceeds payload "
+                             f"({cid!r} declares {sz} bytes, "
+                             f"{len(b) - i - 8} remain)")
         body = b[i + 8:i + 8 + sz]
         if cid == b"fmt ":
             fmt = body
