@@ -1879,7 +1879,7 @@ def q_fuzzy_dedup_keeplist(spark, sf_dir):
     from dxnn_ocr_cpp_spark.operators.dedup import minhash_lsh_pairs
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, threshold=0.4, hash_family="md5",
-                              carry="ride_along")
+                              carry="auto")
     comp = connected_components(pairs, "a", "b")
     ranked = comp.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node")

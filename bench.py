@@ -4,18 +4,25 @@ Phase 1  headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
          local[$SPARK_GRAFT_CPUS]: per-query wall seconds, fully
          materialized via the noop sink (no driver collect cost).
 Phase 2  extraction scaling: the SAME seeded corpus parquet is
-         extracted at local[N] and local[4N] (default 4 and 16) in
-         separate JVMs (subprocess) — docs/sec at both + scaling
-         efficiency docs_sec_4N / (4 * docs_sec_N), plus the host's
-         own pure-python CPU scaling ceiling for context. This
-         evidences the north rule's N->4N executor criterion
-         in-sandbox (analog of the reference's 1->3 NPU card scaling,
-         ~0.99 efficiency, /root/reference/README.md:167-172).
+         extracted at local[N] and local[4N] in separate JVMs
+         (subprocess) — docs/sec at both + scaling efficiency
+         docs_sec_4N / (4 * docs_sec_N), plus the host's own
+         pure-python CPU scaling ceiling for context. TWO windows
+         per run: narrow 2->8 (host scales ~0.95, so the number is
+         the engine's) and wide 8->32 (SURVEY §0's named pair; host
+         ceiling ~0.71-0.85 on this VM, so the engine number is read
+         against it). This evidences the north rule's N->4N executor
+         criterion in-sandbox (analog of the reference's 1->3 NPU
+         card scaling, ~0.99 efficiency,
+         /root/reference/README.md:167-172).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-   "sf": ..., "extraction": {...}}
-and rewrites BENCH/BASELINE.md.
+Prints ONE compact JSON line (fits the driver's 2000-char tail
+capture):
+  {"metric": ..., "value": N, "unit": "sec", "queries": {subset},
+   "sf": ..., "extraction": {summary}, "extraction_wide": {summary},
+   "detail": "BENCH/bench_detail.json"}
+and rewrites BENCH/BASELINE.md + BENCH/bench_detail.json (the full
+per-query map and full window records).
 
 Scenario modes (`python bench.py --mode latency|stress|stability|
 capacity`) self-measure the ENGINE — per-job latency percentiles,
@@ -50,15 +57,32 @@ SEED = 42
 _lv = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 SCALING_LEVELS = (int(_lv[0]), int(_lv[1]))
 
-# scaling measurement needs enough work to amortize fixed overheads:
-# each level pays ~5s of per-job driver/scheduling cost regardless of
-# cores (measured: 4*T16 - T4 residual), which any real long-running
-# 10^12-doc job amortizes to nothing — so the bench must too. The
-# default keeps the hi-level run near a minute (fixed cost <5% of
-# T_hi) while bounding the lo-level run at a few minutes.
-SCALE_DOCS = int(os.environ.get(
-    "SPARK_GRAFT_SCALE_DOCS",
-    "300000" if SCALING_LEVELS[0] <= 2 else "600000"))
+# A second, WIDE window (default 8->32) is measured alongside the
+# headline window every run: SURVEY §0 names local[8] vs local[32] as
+# the evidence pair, and publishing only the narrow window across
+# rounds would read as denominator shopping. The wide window's host
+# ceiling is much lower (~0.71-0.85 measured on this VM), so its
+# engine number is interpreted against that ceiling, never raw.
+_wv = os.environ.get("SPARK_GRAFT_WIDE_LEVELS", "8,32").split(",")
+WIDE_LEVELS = (int(_wv[0]), int(_wv[1]))
+RUN_WIDE = os.environ.get("SPARK_GRAFT_WIDE", "1") != "0"
+
+
+def docs_for(levels: tuple) -> int:
+    """Corpus size for a scaling window. Scaling measurement needs
+    enough work to amortize fixed overheads: each level pays ~5s of
+    per-job driver/scheduling cost regardless of cores (measured:
+    4*T16 - T4 residual), which any real long-running 10^12-doc job
+    amortizes to nothing — so the bench must too. The default keeps
+    the hi-level run near a minute (fixed cost <5% of T_hi) while
+    bounding the lo-level run at a few minutes."""
+    env = os.environ.get("SPARK_GRAFT_SCALE_DOCS")
+    if env:
+        return int(env)
+    return 300_000 if levels[0] <= 2 else 600_000
+
+
+SCALE_DOCS = docs_for(SCALING_LEVELS)
 def _corpus_version() -> int:
     sys.path.insert(0, str(REPO))
     from dxnn_ocr_cpp_spark.corpus import CORPUS_VERSION
@@ -77,9 +101,13 @@ def _package_code_digest() -> str:
     return h.hexdigest()
 
 
-CORPUS_CACHE = os.environ.get(
-    "SPARK_GRAFT_CORPUS_CACHE",
-    f"/tmp/spark_graft_corpus/seed{SEED}_n{SCALE_DOCS}_v{_corpus_version()}")
+def corpus_cache(n_docs: int) -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_CORPUS_CACHE",
+        f"/tmp/spark_graft_corpus/seed{SEED}_n{n_docs}_v{_corpus_version()}")
+
+
+CORPUS_CACHE = corpus_cache(SCALE_DOCS)
 
 HEADLINE = [
     "pricing_summary",
@@ -254,7 +282,8 @@ def _burn(n: int) -> int:
     return s
 
 
-def run_scaling(corpus: str) -> dict:
+def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
+                min_rounds: int = 3, max_rounds: int = 5) -> dict:
     """Alternate the two levels as lo hi lo hi lo ... so every hi run
     is bracketed by two lo runs: efficiency ratios use the bracketing
     mean (first-order drift cancellation), throughput uses
@@ -281,7 +310,7 @@ def run_scaling(corpus: str) -> dict:
                                    f"{out.stderr[-2000:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = SCALING_LEVELS
+    lo, hi = levels
     lo_seq, hi_seq = [], []
 
     # BRACKETED rounds: every hi run sits between two lo runs and its
@@ -320,22 +349,28 @@ def run_scaling(corpus: str) -> dict:
     # a probe reading > 1.02 is itself drift evidence (pure CPU work
     # cannot scale lo->hi above 1.0; the probe's lo phase was
     # throttled relative to its hi phase), so it neither passes the
-    # gate nor counts toward the ceiling below
+    # gate nor counts toward the ceiling below. The health FLOOR is
+    # window-dependent: this VM's normal ceiling is ~0.95 for 2->8
+    # but only ~0.71-0.85 for 8->32 (frequency scaling + contention
+    # grow with active cores), so a 0.75 reading is ill health in the
+    # narrow window but business as usual in the wide one.
+    floor = 0.85 if hi <= 8 else 0.60
+
     def healthy(p: float) -> bool:
-        return 0.85 <= p <= 1.02
+        return floor <= p <= 1.02
 
     probes = [cpu_ceiling(lo, hi)]
     while not healthy(probes[-1]) and len(probes) < 5:
         time.sleep(90)
         probes.append(cpu_ceiling(lo, hi))
 
-    for _ in range(3):
+    for _ in range(min_rounds):
         one_round()
-    # noise-triggered extension (NOT result-triggered): when the three
+    # noise-triggered extension (NOT result-triggered): when the
     # matched-pair ratios spread wider than 0.1 the host was drifting
     # mid-measurement, so collect up to two more rounds — more data
     # under noise, the same median estimator either way
-    while n_rounds() < 5 and max(ratios()) - min(ratios()) > 0.1:
+    while n_rounds() < max_rounds and max(ratios()) - min(ratios()) > 0.1:
         one_round()
     # recovery rounds: if the host was degraded for every pre-run probe
     # but measures healthy now, the measurement window was bad — sample
@@ -344,7 +379,7 @@ def run_scaling(corpus: str) -> dict:
     post = cpu_ceiling(lo, hi)
     probes.append(post)
     if healthy(post) and not any(healthy(p) for p in probes[:-1]):
-        while n_rounds() < 5:
+        while n_rounds() < max_rounds:
             one_round()
     # best observed throughput per level, across all runs (the VM's
     # available CPU drifts ~10% over minutes, so best-per-level is the
@@ -370,10 +405,17 @@ def run_scaling(corpus: str) -> dict:
     # stable CPU (the host throttled the probe's LOW-parallelism phase
     # relative to its high one — mid-measurement drift), and a > 0.2
     # spread across bracketed rounds means different rounds saw
-    # different hosts. Label the window rather than publish a number
-    # that reads as an engine property.
-    unstable = max(probes) > 1.05 or \
-        (max(eff_rounds) - min(eff_rounds) > 0.2)
+    # different hosts. The SAME physical argument applies to the
+    # engine's own ratio: a median efficiency > 1.02, or one that
+    # exceeds what the host itself can scale by > 5%, can only be
+    # drift that the bracketing failed to cancel (the r2 window
+    # published 1.0508 against a 0.9541 host ceiling — impossible).
+    # Label the window rather than publish a number that reads as an
+    # engine property.
+    unstable = max(probes) > 1.05 \
+        or (max(eff_rounds) - min(eff_rounds) > 0.2) \
+        or eff > 1.02 \
+        or (eff / ceiling) > 1.05
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -408,10 +450,12 @@ def run_queries() -> dict:
     return timings
 
 
-STABLE_CACHE = REPO / "BENCH" / "stable_scaling.json"
+def stable_cache_path(levels: tuple) -> pathlib.Path:
+    return REPO / "BENCH" / f"stable_scaling_{levels[0]}_{levels[1]}.json"
 
 
-def stable_window_policy(ext: dict) -> dict:
+def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
+                         corpus: str = CORPUS_CACHE) -> dict:
     """Last-known-good policy for the scaling headline, bounded so it
     can never cherry-pick: a STABLE window (validity checks in
     run_scaling) always replaces the cache and is always reported; an
@@ -425,39 +469,43 @@ def stable_window_policy(ext: dict) -> dict:
     magnitude."""
     import datetime
     import platform
+    cache = stable_cache_path(levels)
     # keyed by engine-code digest + host so a cached window can never be
     # republished for code it didn't measure or a machine it didn't run on
-    key = {"corpus": CORPUS_CACHE, "levels": list(SCALING_LEVELS),
+    key = {"corpus": corpus, "levels": list(levels),
            "code": _package_code_digest(), "host": platform.node()}
     if not ext.get("host_window_unstable"):
-        STABLE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-        STABLE_CACHE.write_text(json.dumps(
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        cache.write_text(json.dumps(
             {"measured_at": datetime.datetime.now(
                 datetime.timezone.utc).isoformat(timespec="seconds"),
              "window_key": key, **ext}, indent=1))
         return ext
-    if STABLE_CACHE.exists():
-        stable = json.loads(STABLE_CACHE.read_text())
+    if cache.exists():
+        stable = json.loads(cache.read_text())
         # only substitute a window measured on the SAME corpus at the
-        # SAME parallelism pair — never borrow across configurations
-        if stable.get("window_key") == key:
+        # SAME parallelism pair — never borrow across configurations —
+        # and re-check the cached window against the CURRENT validity
+        # predicate, so a window cached before a gate was tightened
+        # (the r2 1.0508 headline) can never be republished
+        eff = stable.get("scaling_efficiency", 99)
+        ceil = stable.get("host_cpu_ceiling", 1e-9)
+        if (stable.get("window_key") == key and eff <= 1.02
+                and eff / ceil <= 1.05):
             stable["unstable_current_window"] = ext
             return stable
     return ext
 
 
-def write_report(payload: dict) -> None:
-    ext = payload["extraction"]
-    lo, hi = SCALING_LEVELS
+def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
+    lo, hi = levels
     lo_r, hi_r = ext[f"local[{lo}]"], ext[f"local[{hi}]"]
+    role = ("headline window" if headline
+            else "wide window — interpret against its host ceiling")
     lines = [
-        "# BENCH — PySpark extraction engine",
+        f"### {lo}->{hi} cores ({role})",
         "",
-        f"Input: seeded corpus, {lo_r['docs']} docs "
-        f"(cache: `{CORPUS_CACHE}`); relational queries at `{SF_DIR}`.",
-        "",
-        "## Extraction throughput scaling (north rule: N -> 4N, "
-        "target efficiency >= 0.8)",
+        f"Corpus: {lo_r['docs']} docs.",
         "",
         "| parallelism | wall sec | docs/sec |",
         "|---|---|---|",
@@ -482,28 +530,59 @@ def write_report(payload: dict) -> None:
             f"same corpus): THIS run's scaling window was flagged "
             f"unstable (host ceiling probes "
             f"{cur['host_ceiling_probes']}, per-round "
-            f"{cur['efficiency_per_round']}) and is published here "
+            f"{cur['efficiency_per_round']}, median "
+            f"{cur['scaling_efficiency']}) and is published here "
             f"verbatim rather than as the headline. The policy prefers "
-            f"windows by host VALIDITY only, never by efficiency "
-            f"magnitude (see bench.py stable_window_policy).",
+            f"windows by VALIDITY only, never by efficiency magnitude "
+            f"(see bench.py stable_window_policy).",
             "",
         ]
     elif ext.get("host_window_unstable"):
         lines += [
-            "**Host window flagged UNSTABLE during this run** (a ceiling "
-            "probe > 1.05, or matched-round ratio spread > 0.2): the "
-            "numbers above measure the drifting VM as much as the "
-            "engine. Re-run in a stable window before comparing.",
+            "**Window flagged UNSTABLE during this run** (a ceiling "
+            "probe > 1.05, matched-round ratio spread > 0.2, or an "
+            "engine ratio exceeding the physical bound — median > 1.02 "
+            "or > 1.05x the host ceiling): the numbers above measure "
+            "the drifting VM as much as the engine. Re-run in a stable "
+            "window before comparing.",
             "",
         ]
+    return lines
+
+
+def write_report(payload: dict) -> None:
+    ext = payload["extraction"]
+    lines = [
+        "# BENCH — PySpark extraction engine",
+        "",
+        f"Relational queries at `{SF_DIR}`; extraction scaling on the "
+        f"seeded corpus (cache root: `/tmp/spark_graft_corpus`).",
+        "",
+        "## Extraction throughput scaling (north rule: N -> 4N, "
+        "target efficiency >= 0.8)",
+        "",
+        "Two windows are measured EVERY run — the narrow 2->8 window "
+        "where the host itself scales near-perfectly (so the number "
+        "reflects the engine), and the wide 8->32 window named by "
+        "SURVEY §0 (where this VM's own pure-python ceiling is far "
+        "below 1.0; the engine number is read against that ceiling). "
+        "Publishing both closes the round-2 gap where the window "
+        "narrowed round-over-round without a side-by-side.",
+        "",
+    ]
+    lines += _window_section(ext, SCALING_LEVELS, headline=True)
+    wide = payload.get("extraction_wide")
+    if wide:
+        lines += _window_section(wide, WIDE_LEVELS, headline=False)
     lines += [
-        "Three hi rounds (extended to five when the ratio spread "
-        "exceeds 0.1 — noise-triggered, not result-triggered), each "
-        "BRACKETED by two lo runs and ratioed against their mean so "
-        "linear host drift cancels to first order; headline efficiency "
-        "is the MEDIAN round (max over noisy ratios biases upward), "
-        "throughput best-per-level (the sandbox VM's available CPU "
-        "drifts ~10% over minutes).",
+        "Per window: >=3 hi rounds at the headline (>=2 at the wide "
+        "window), extended when the ratio spread exceeds 0.1 — "
+        "noise-triggered, not result-triggered — each BRACKETED by two "
+        "lo runs and ratioed against their mean so linear host drift "
+        "cancels to first order; headline efficiency is the MEDIAN "
+        "round (max over noisy ratios biases upward), throughput "
+        "best-per-level (the sandbox VM's available CPU drifts ~10% "
+        "over minutes).",
         "",
         "Reference precedent: DXNN-OCR card scaling 7.40 -> 14.73 -> "
         "21.96 FPS across 1/2/3 NPUs = 0.995/0.989 efficiency "
@@ -722,6 +801,36 @@ def run_modes(names: list) -> None:
     print(json.dumps({"metric": "bench_modes", "modes": results}))
 
 
+# queries inlined into the final stdout JSON line. The driver captures
+# only the last ~2000 chars of stdout; round 2's 63-query line
+# overflowed it and the round recorded NO parsed bench at all. The
+# full per-query map always goes to BENCH/bench_detail.json — this
+# subset (the composed pipelines + the costliest operator families)
+# keeps the driver-visible line well under the capture window.
+INLINE_QUERIES = [
+    "fuzzy_dedup_keeplist", "quality_classifier", "curate_keeplist",
+    "frontier_build", "dedup_clusters", "host_pagerank",
+    "winnow_pairs", "minhash_lsh_pairs", "simhash_pairs",
+    "ngram_jaccard_pairs", "embedding_ivf_topk", "embedding_lsh_topk",
+    "semantic_dedup", "pdf_roundtrip", "warc_roundtrip", "dsir_select",
+]
+
+
+def _ext_summary(ext: dict, levels: tuple) -> dict:
+    """Compact scalars for the one-line driver JSON; full window detail
+    lives in BENCH/bench_detail.json."""
+    lo, hi = levels
+    return {
+        "levels": [lo, hi],
+        "docs_per_sec": {str(lo): ext[f"local[{lo}]"]["docs_per_sec"],
+                         str(hi): ext[f"local[{hi}]"]["docs_per_sec"]},
+        "efficiency": ext["scaling_efficiency"],
+        "host_ceiling": ext["host_cpu_ceiling"],
+        "vs_ceiling": ext["efficiency_vs_host_ceiling"],
+        "unstable": bool(ext.get("host_window_unstable")),
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         print(json.dumps(scaling_worker(int(sys.argv[2]), sys.argv[3])))
@@ -731,8 +840,16 @@ def main() -> None:
                   else list(MODES))
         return
     ensure_corpus(CORPUS_CACHE, SCALE_DOCS)
-    extraction = run_scaling(CORPUS_CACHE)
-    extraction = stable_window_policy(extraction)
+    extraction = run_scaling(CORPUS_CACHE, SCALING_LEVELS)
+    extraction = stable_window_policy(extraction, SCALING_LEVELS,
+                                      CORPUS_CACHE)
+    wide = None
+    if RUN_WIDE:
+        wide_corpus = corpus_cache(docs_for(WIDE_LEVELS))
+        ensure_corpus(wide_corpus, docs_for(WIDE_LEVELS))
+        wide = run_scaling(wide_corpus, WIDE_LEVELS,
+                           min_rounds=2, max_rounds=4)
+        wide = stable_window_policy(wide, WIDE_LEVELS, wide_corpus)
     timings = run_queries()
     payload = {
         "metric": "bench_total_wall",
@@ -742,8 +859,31 @@ def main() -> None:
         "sf": pathlib.Path(SF_DIR).name,
         "extraction": extraction,
     }
+    if wide:
+        payload["extraction_wide"] = wide
     write_report(payload)
-    print(json.dumps(payload))
+    detail = REPO / "BENCH" / "bench_detail.json"
+    detail.parent.mkdir(exist_ok=True)
+    detail.write_text(json.dumps(payload, indent=1))
+    # final stdout line: compact enough for the driver's 2000-char
+    # tail capture (the full payload is in BENCH/bench_detail.json)
+    compact = {
+        "metric": "bench_total_wall",
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: timings[k] for k in INLINE_QUERIES
+                    if k in timings},
+        "sf": payload["sf"],
+        "extraction": _ext_summary(extraction, SCALING_LEVELS),
+        "detail": "BENCH/bench_detail.json",
+    }
+    if wide:
+        compact["extraction_wide"] = _ext_summary(wide, WIDE_LEVELS)
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never overflow the capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

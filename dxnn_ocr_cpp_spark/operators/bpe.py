@@ -96,7 +96,7 @@ def _merge_fold(syms, left: str, right: str):
 
 
 def train_bpe(df: DataFrame, text_col: str = "text",
-              n_merges: int = 32):
+              n_merges: int = 32, max_merges: int = 2048):
     """Train a BPE merge list on a corpus.
 
     Returns (merges, words) where merges is the ordered driver-side
@@ -106,7 +106,31 @@ def train_bpe(df: DataFrame, text_col: str = "text",
 
     Stops early when no pair occurs twice (merging a count-1 pair is
     pure overfit and breaks the deterministic-tiebreak guarantee's
-    usefulness)."""
+    usefulness).
+
+    Merge-count envelope: training operates on the word-count table
+    (the right scale shape — corpus size only affects the one
+    word_counts pass), but BPE merges are inherently sequential and
+    each merge here is one driver-looped Spark round (a 1-row argmax
+    collect + a fold over the word table). At ~0.1-0.3 s/round that
+    is fine for the few-hundred-merge vocabularies this engine
+    demos, and absurd for a real 30k-merge tokenizer (30k sequential
+    Spark jobs ≈ hours of pure scheduling). For large vocabularies
+    the right move is: word_counts(df) in Spark (the only
+    corpus-scale step), collect the word table (even a 100 TB corpus
+    yields only millions of distinct words — a few hundred MB), and
+    run the merge loop single-node over the collected counts. The
+    max_merges guard makes that boundary explicit instead of letting
+    a 30k-merge call silently melt the scheduler (mirrors
+    similarity.cosine_dup_pairs_exact's max_rows guard)."""
+    if int(n_merges) > int(max_merges):
+        raise ValueError(
+            f"train_bpe: n_merges={n_merges} exceeds max_merges="
+            f"{max_merges}. Each merge is one sequential driver-looped "
+            f"Spark round; at this vocabulary size collect the "
+            f"word_counts(df) table (distinct words, not the corpus) "
+            f"and train the merge loop single-node instead, or raise "
+            f"max_merges explicitly if you accept the scheduling cost.")
     words = (word_counts(df, text_col)
              .select("word", "c",
                      _char_symbols(F.col("word")).alias("syms"))

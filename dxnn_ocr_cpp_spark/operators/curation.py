@@ -578,30 +578,40 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
       1. the text matches MOJIBAKE_SIG_RE (lead+continuation bigram);
       2. every char is in the Latin-1 range (else the re-encode is not
          byte-faithful — genuine CJK/emoji text is never touched);
-      3. the round trip produced no U+FFFD (the candidate bytes were
-         not actually valid UTF-8 — e.g. a lone '\u00c3' in clean
-         text).
+      3. is_valid_utf8 over the re-encoded bytes (the candidate bytes
+         were not actually valid UTF-8 — e.g. a lone '\u00c3' in
+         clean text — so the decode would not be a true inverse).
     Rows failing any gate pass through unchanged; `<out_col>_applied`
-    records which rows were repaired. One pass fixes single
-    double-encoding; run twice for the rarer triple-encoded class.
+    records which rows were repaired (null text -> false, never null).
+    One pass fixes single double-encoding; run twice for the rarer
+    triple-encoded class.
 
-    Requires spark.sql.legacy.codingErrorAction=true (set here,
-    session-wide): Spark 4's default raises on unmappable/malformed
-    chars, the legacy mode substitutes '?'/U+FFFD which gate 3 then
-    detects — a total function either way, per-row contained.
+    Totality under Spark 4's strict codingErrorAction: gate 2 makes
+    the Latin-1 encode infallible (every char <= U+00FF maps), gate 3
+    makes the UTF-8 decode infallible (bytes pre-validated), and both
+    sit inside CaseWhen branches that only evaluate where their gates
+    hold — no session conf is touched (an earlier version set
+    spark.sql.legacy.codingErrorAction session-wide as a hidden side
+    effect, silently downgrading every other encode/decode in the
+    session to '?'-substitution).
 
     Reference analog: the charset sniff + re-decode branch of input
     normalization (P1/P9, htmlseg.decode_html; the reference
     normalizes inputs before any stage sees them,
     /root/reference/src/preprocessing/image_ops.cpp).
     """
-    df.sparkSession.conf.set("spark.sql.legacy.codingErrorAction", "true")
     c = F.col(text_col)
-    rt = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
     candidate = (c.rlike(MOJIBAKE_SIG_RE)
                  & ~c.rlike(_NON_LATIN1_RE))
-    # lazy CaseWhen: rt is only evaluated where candidate holds, and
-    # legacy coding mode makes it total there
-    repaired = F.when(candidate & ~rt.contains("\ufffd"), rt).otherwise(c)
+    # nested lazy CaseWhen: the encode only runs where gate 2 holds
+    # (infallible there: all chars <= U+00FF), the decode only where
+    # is_valid_utf8 passed (infallible there) — total under strict
+    # codingErrorAction with no session-conf side effect
+    ok = F.when(candidate,
+                F.is_valid_utf8(F.encode(c, "ISO-8859-1"))) \
+        .otherwise(F.lit(False))
+    repaired = F.when(ok, F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")) \
+        .otherwise(c)
+    applied = F.coalesce(repaired != c, F.lit(False))
     return (df.withColumn(out_col, repaired)
-              .withColumn(f"{out_col}_applied", repaired != c))
+              .withColumn(f"{out_col}_applied", applied))

@@ -57,15 +57,40 @@ def _field(block: Column, field_re: str) -> Column:
         F.regexp_extract(block, field_re, 1)), F.lit(""))
 
 
+def _sniff(xml: Column) -> Column:
+    """Comment-stripped view of the blob for dialect sniffing only —
+    a urlset file merely MENTIONING '<sitemapindex' in an XML comment
+    must not flip the block grammar."""
+    return F.regexp_replace(xml, r"(?s)<!--.*?-->", "")
+
+
+def _tag_before(sniff: Column, tag: str, other: str) -> Column:
+    """True when `<tag` occurs and occurs before any `<other` — the
+    root-element test expressed as first-occurrence order, which is
+    robust to XML declarations / DOCTYPE preambles that a ^-anchored
+    regex would have to enumerate."""
+    p = F.locate("<" + tag, sniff)
+    q = F.locate("<" + other, sniff)
+    return (p > 0) & ((q == 0) | (p < q))
+
+
 def sitemap_entries(df: DataFrame, xml_col: str = "xml",
                     id_col: str = "doc_id") -> DataFrame:
     """sitemaps.org parse: one row per <url> (kind='urlset') or
     per child <sitemap> of an index (kind='sitemapindex'), with
     (pos, loc, lastmod). Entity-decoded, whitespace-trimmed; a block
     with no <loc> still emits its row (loc NULL) so malformed entries
-    are visible, not silently dropped. One explode, zero shuffle."""
+    are visible, not silently dropped. One explode, zero shuffle.
+
+    Dialect sniff is comment-stripped and root-anchored: the doc is an
+    index only when '<sitemapindex' occurs before any '<url' (the
+    urlset root '<urlset' and its '<url>' blocks both start with that
+    prefix), so a urlset mentioning the token in a comment or <loc>
+    cannot flip the grammar."""
     xml = F.col(xml_col)
-    is_index = xml.rlike(r"<sitemapindex[\s>]")
+    sn = _sniff(xml)
+    is_index = sn.rlike(r"<sitemapindex[\s>]") & \
+        _tag_before(sn, "sitemapindex", "url")
     blocks = F.when(is_index, _blocks(xml, SITEMAP_BLOCK_RE)) \
         .otherwise(_blocks(xml, URL_BLOCK_RE))
     exploded = df.select(
@@ -87,9 +112,17 @@ def feed_entries(df: DataFrame, xml_col: str = "xml",
     (kind, pos, link, title, published) shape. Atom is detected by
     the feed-level xmlns; within a block the href-attribute form wins
     over link-body text (Atom links are self-closing). One explode,
-    zero shuffle."""
+    zero shuffle.
+
+    Dialect sniff is comment-stripped and root-anchored (same policy
+    as sitemap_entries): the Atom xmlns must sit on a '<feed' that
+    occurs before any '<rss', so an RSS feed quoting the Atom
+    namespace in a comment cannot flip the grammar."""
     xml = F.col(xml_col)
-    is_atom = xml.rlike(r"""<feed[^>]*xmlns\s*=\s*["']http://www\.w3\.org/2005/Atom["']""")
+    sn = _sniff(xml)
+    is_atom = sn.rlike(
+        r"""<feed[^>]*xmlns\s*=\s*["']http://www\.w3\.org/2005/Atom["']"""
+    ) & _tag_before(sn, "feed", "rss")
     blocks = F.when(is_atom, _blocks(xml, ENTRY_BLOCK_RE)) \
         .otherwise(_blocks(xml, ITEM_BLOCK_RE))
     exploded = df.select(

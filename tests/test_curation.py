@@ -421,3 +421,40 @@ class TestFixMojibake:
         twice = {r.id: r for r in fix_mojibake(once).collect()}
         assert twice[0].fixed == "caf\u00e9"
         assert not twice[0].fixed_applied and not twice[1].fixed_applied
+
+    def test_null_text_total_applied_flag(self, spark):
+        # null text: the row survives with fixed NULL and applied
+        # FALSE (not NULL) \u2014 a null flag would make the row vanish
+        # from BOTH `fixed_applied` and `NOT fixed_applied` filters
+        from pyspark.sql import Row
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+        df = spark.createDataFrame(
+            [Row(id=0, text=None), Row(id=1, text="caf\u00c3\u00a9")],
+            "id long, text string")
+        out = fix_mojibake(df)
+        got = {r.id: r for r in out.collect()}
+        assert got[0].fixed is None
+        assert got[0].fixed_applied is False
+        # the flag partitions the table: every row lands on one side
+        n = out.filter("fixed_applied").count() \
+            + out.filter("NOT fixed_applied").count()
+        assert n == 2
+
+    def test_no_session_conf_side_effect(self, spark):
+        # building and running the repair must not flip the session's
+        # strict coding-error behavior for unrelated operators
+        from dxnn_ocr_cpp_spark.operators.curation import fix_mojibake
+        key = "spark.sql.legacy.codingErrorAction"
+        before = spark.conf.get(key, None)
+        df = spark.createDataFrame(
+            [(0, "caf\u00c3\u00a9"), (1, "\u4e2d\u6587")],
+            "id long, text string")
+        fix_mojibake(df).collect()
+        assert spark.conf.get(key, None) == before
+        # strict mode still raises elsewhere in the session: encoding
+        # a non-Latin-1 char as Latin-1 must fail, not substitute '?'
+        strict = spark.createDataFrame([("\u4e2d",)], "t string") \
+            .select(F.encode("t", "ISO-8859-1"))
+        if before in (None, "false"):
+            with pytest.raises(Exception):
+                strict.collect()

@@ -83,6 +83,30 @@ class TestSitemap:
         assert "Python" not in plan
         assert plan.count("Generate") == 1
 
+    def test_comment_mention_does_not_flip_dialect(self, spark, feed_df):
+        # a urlset whose XML comment mentions <sitemapindex> must still
+        # parse with the urlset grammar (root-anchored, comment-
+        # stripped sniff)
+        tricky = ("<?xml version='1.0'?>\n"
+                  "<!-- unlike a <sitemapindex> this is a urlset -->\n"
+                  "<urlset>\n"
+                  "  <url><loc>https://ex.com/a</loc></url>\n"
+                  "  <url><loc>https://ex.com/b</loc></url>\n"
+                  "</urlset>")
+        out = sitemap_entries(feed_df([(9, tricky)])) \
+            .orderBy("pos").collect()
+        assert [r.kind for r in out] == ["urlset", "urlset"]
+        assert [r.loc for r in out] == ["https://ex.com/a",
+                                        "https://ex.com/b"]
+
+    def test_index_with_preamble_still_detected(self, spark, feed_df):
+        # declarations / DOCTYPE / comments before the root must not
+        # defeat index detection
+        idx = ("<?xml version='1.0'?>\n<!DOCTYPE sitemapindex>\n"
+               "<!-- generated -->\n" + SITEMAP_INDEX)
+        out = sitemap_entries(feed_df([(10, idx)])).collect()
+        assert [r.kind for r in out] == ["sitemapindex"] * 2
+
 
 class TestFeeds:
     def test_rss_items(self, spark, feed_df):
@@ -106,3 +130,13 @@ class TestFeeds:
         out = feed_entries(feed_df([(1, RSS), (2, ATOM)])) \
             .orderBy("doc_id", "pos").collect()
         assert [r.kind for r in out] == ["rss", "rss", "atom"]
+
+    def test_atom_xmlns_in_comment_stays_rss(self, spark, feed_df):
+        # an RSS feed quoting the Atom namespace in a comment must not
+        # flip to the entry-block grammar
+        tricky = ('<!-- cf <feed xmlns="http://www.w3.org/2005/Atom"> '
+                  "-->\n" + RSS)
+        out = feed_entries(feed_df([(11, tricky)])) \
+            .orderBy("pos").collect()
+        assert [r.kind for r in out] == ["rss", "rss"]
+        assert out[0].link == "https://ex.com/p/1"

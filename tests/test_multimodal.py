@@ -210,6 +210,44 @@ class TestDecoders:
         with pytest.raises(NotImplementedError):
             decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
+    def test_pnm_crlf_separator_not_skewed(self):
+        # a PNM written with CRLF after maxval must decode to the SAME
+        # pixels as the LF form — not a raster shifted by one byte
+        from dxnn_ocr_cpp_spark.operators.multimodal import decode_image
+        raster = bytes([10, 20, 30, 40, 50, 60])  # 2x1 rgb
+        lf = b"P6\n2 1\n255\n" + raster
+        crlf = b"P6\n2 1\n255\r\n" + raster
+        a, _ = decode_image(lf)
+        b_, _ = decode_image(crlf)
+        assert a.tolist() == b_.tolist()
+        assert a[0, 0].tolist() == [10, 20, 30]
+
+    def test_pnm_missing_separator_rejected(self):
+        import pytest
+
+        from dxnn_ocr_cpp_spark.operators.multimodal import decode_image
+        # non-whitespace byte where the raster separator belongs:
+        # malformed header, not a raster that starts early
+        with pytest.raises(ValueError):
+            decode_image(b"P6\n2 1\n255" + b"X" + bytes(6))
+
+    def test_wav_oversized_chunk_rejected(self):
+        import struct
+
+        import pytest
+
+        from dxnn_ocr_cpp_spark.operators.multimodal import (decode_wav,
+                                                             make_wav)
+        raw = bytearray(make_wav([1, 2, 3, 4]))
+        # inflate the data chunk's declared size past the buffer end:
+        # header-valid but truncated payload must surface as an error,
+        # not a shorter successful decode
+        i = raw.find(b"data")
+        declared = struct.unpack_from("<I", raw, i + 4)[0]
+        struct.pack_into("<I", raw, i + 4, declared + 64)
+        with pytest.raises(ValueError):
+            decode_wav(bytes(raw))
+
     def test_nn_resize_exact_indices(self):
         import numpy as np
 
