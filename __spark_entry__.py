@@ -480,6 +480,103 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(indexed, cents, emb.filter("vec_id < 5"), k=5, nprobe=8)
 
 
+_PLANT_DIM = 16        # planted vector dimensionality = group count
+_PLANT_K = 5
+
+
+def _planted_embeddings(spark, sf_dir):
+    """Embedding table with ground truth planted as pure integer
+    functions of doc_id (the media_decode / sitemap_harvest
+    discipline, applied to the ANN family): vector for doc_id is the
+    one-hot basis vector e_{doc_id % 16} scaled by (doc_id % 7 + 1).
+    Consequences that make the approximate operators exactly
+    predictable with NO hash mixing in the oracle:
+
+      * all members of a group (same doc_id % 16) are POSITIVE SCALAR
+        MULTIPLES of one another -> identical normalized vector ->
+        identical hyperplane-LSH signature (signs of projections are
+        scale-invariant) and identical k-means cell assignment, under
+        ANY planes/centroids — so candidate generation provably
+        surfaces every group member;
+      * cosine within a group is exactly 1.0 (integer scales: the
+        norm sqrt is exact, the ratio is exactly 1.0 before rounding)
+        and exactly 0.0 across groups (disjoint one-hot support) —
+        so the verified/ranked output is a pure function of the
+        group arithmetic, which DuckDB replays without touching a
+        vector.
+
+    Every group has >= 12 members even at sf0.001 (200 docs / 16), so
+    top-5 among sim-1.0 ties is always filled from the query's own
+    group, cut deterministically by the operators' (sim DESC, nb_id
+    ASC) ranking."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % _PLANT_DIM).cast("int")
+    s = (F.col("doc_id") % 7 + 1).cast("double")
+    vec = F.transform(F.sequence(F.lit(0), F.lit(_PLANT_DIM - 1)),
+                      lambda i: F.when(i == g, s).otherwise(F.lit(0.0)))
+    return d.select(F.col("doc_id").alias("vec_id"),
+                    vec.alias("embedding"))
+
+
+def q_embedding_lsh_topk_planted(spark, sf_dir):
+    """Hyperplane-LSH top-k over the PLANTED embedding table — the
+    oracle-certified twin of embedding_lsh_topk (which stays rows-only
+    on the real vectors). Group members share every band bucket by
+    construction (see _planted_embeddings), so the approximate
+    operator's output is exactly the 5 smallest same-group neighbour
+    ids at sim 1.0 — a match certifies signature build, band
+    bucketing, candidate join, exact re-rank, and the deterministic
+    tie-break, independent of the hyperplane draw."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import lsh_topk
+    emb = _planted_embeddings(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter("vec_id < 5"), k=_PLANT_K,
+                   dim=_PLANT_DIM)
+    return (out.select(F.col("query_id").cast("long").alias("query_id"),
+                       F.col("rank").cast("long").alias("rank"),
+                       F.col("nb_id").cast("long").alias("nb_id"), "sim")
+            .orderBy("query_id", "rank"))
+
+
+def q_embedding_ivf_topk_planted(spark, sf_dir):
+    """IVF top-k over the PLANTED embedding table — the
+    oracle-certified twin of embedding_ivf_topk. All group members
+    land in one k-means cell regardless of seeding (identical
+    normalized vectors); nprobe = n_lists so the probe set is
+    hash-independent too (the real-vector query keeps nprobe=8 —
+    THIS query certifies assignment, cell join, and re-rank
+    plumbing, not cell pruning, which stays covered by the recall
+    tests in tests/test_ivf.py)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.ivf import build_ivf, ivf_topk
+    emb = _planted_embeddings(spark, sf_dir)
+    indexed, cents = build_ivf(emb, n_lists=16, iters=2)
+    out = ivf_topk(indexed, cents, emb.filter("vec_id < 5"),
+                   k=_PLANT_K, nprobe=16)
+    return (out.select(F.col("query_id").cast("long").alias("query_id"),
+                       F.col("rank").cast("long").alias("rank"),
+                       F.col("nb_id").cast("long").alias("nb_id"), "sim")
+            .orderBy("query_id", "rank"))
+
+
+def q_semantic_dedup_planted(spark, sf_dir):
+    """SemDeDup over the PLANTED embedding table — the
+    oracle-certified twin of semantic_dedup. Each one-hot group is a
+    sim-1.0 clique confined to one k-means cell (identical normalized
+    vectors), cross-group sims are exactly 0.0, so the expected
+    output is: group_id = min doc_id of the group, keep = (id ==
+    group_id) — certifying cell mining, the connected-components
+    closure, and min-id representative selection with no hash mixing
+    in the oracle."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import semantic_dedup
+    emb = _planted_embeddings(spark, sf_dir)
+    return (semantic_dedup(emb, threshold=0.9, n_lists=16, iters=2)
+            .select(F.col("id").cast("long").alias("id"),
+                    "group_id", "keep")
+            .orderBy("id"))
+
+
 def q_validate_rejects(spark, sf_dir):
     """Input-guard operator (F7 analog of request validation,
     /root/reference/server/ocr_handler.cpp:38-124) — reject histogram
@@ -1981,12 +2078,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_md5": q_winnow_pairs_md5,
         "embedding_topk": q_embedding_topk,
         "embedding_cosine_dups": q_embedding_cosine_dups,
-        "token_counts": q_token_counts,
+        "embedding_lsh_topk_planted": q_embedding_lsh_topk_planted,
+        "embedding_ivf_topk_planted": q_embedding_ivf_topk_planted,
+        "semantic_dedup_planted": q_semantic_dedup_planted,
         "quality_scores": q_quality_scores,
-        "lang_id_hist": q_lang_id_hist,
         "media_decode": q_media_decode,
         # ---- driver window (first 50) ends here ----
         # -- tier 3: roundtrips / events / TPC-H twins (pytest-pinned) --
+        "token_counts": q_token_counts,
+        "lang_id_hist": q_lang_id_hist,
         "media_pipeline": q_media_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
         "pdf_roundtrip": q_pdf_roundtrip,
@@ -2667,6 +2767,31 @@ def _dataset_split_oracle() -> str:
 
 
 ORACLES["dataset_split"] = _dataset_split_oracle()
+
+# Planted-ground-truth ANN twins (see _planted_embeddings): the oracle
+# recomputes the expected neighbours/groups from the doc_id arithmetic
+# alone — no vectors, no hyperplanes, no k-means — because the planted
+# construction makes the approximate operators' output provably
+# hash-independent.
+ORACLES["embedding_lsh_topk_planted"] = """
+    WITH e AS (SELECT doc_id AS vec_id, doc_id % 16 AS g FROM documents),
+    q AS (SELECT vec_id, g FROM e WHERE vec_id < 5),
+    r AS (SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY c.vec_id) AS rank
+          FROM q JOIN e c ON c.g = q.g AND c.vec_id <> q.vec_id)
+    SELECT query_id, rank, nb_id, CAST(1.0 AS DOUBLE) AS sim
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+ORACLES["embedding_ivf_topk_planted"] = \
+    ORACLES["embedding_lsh_topk_planted"]
+ORACLES["semantic_dedup_planted"] = """
+    WITH e AS (SELECT doc_id AS vec_id, doc_id % 16 AS g FROM documents)
+    SELECT vec_id AS id,
+           MIN(vec_id) OVER (PARTITION BY g) AS group_id,
+           vec_id = MIN(vec_id) OVER (PARTITION BY g) AS keep
+    FROM e ORDER BY id
+"""
 
 
 def _pii_oracle() -> str:
