@@ -559,6 +559,25 @@ def q_embedding_ivf_topk_planted(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_embedding_cosine_dups_scale_planted(spark, sf_dir):
+    """Banded-LSH near-dup pair mining over the PLANTED embedding
+    table — the oracle-certified twin of embedding_cosine_dups_scale.
+    Every within-group pair shares all 8 band buckets (identical
+    signatures), so candidate generation provably surfaces the full
+    within-group clique; exact verify scores it 1.0 and scores every
+    cross-group collision exactly 0.0 — the expected pair set is the
+    group arithmetic itself, certifying bucketing, the block-tiled
+    verify kernel, and cross-band dedup with no hash mixing in the
+    oracle."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.similarity import cosine_dup_pairs_lsh
+    emb = _planted_embeddings(spark, sf_dir)
+    return (cosine_dup_pairs_lsh(emb, threshold=0.4, dim=_PLANT_DIM)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"), "sim")
+            .orderBy("a", "b"))
+
+
 def q_semantic_dedup_planted(spark, sf_dir):
     """SemDeDup over the PLANTED embedding table — the
     oracle-certified twin of semantic_dedup. Each one-hot group is a
@@ -2080,11 +2099,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_lsh_topk_planted": q_embedding_lsh_topk_planted,
         "embedding_ivf_topk_planted": q_embedding_ivf_topk_planted,
+        "embedding_cosine_dups_scale_planted":
+            q_embedding_cosine_dups_scale_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
-        "quality_scores": q_quality_scores,
         "media_decode": q_media_decode,
         # ---- driver window (first 50) ends here ----
         # -- tier 3: roundtrips / events / TPC-H twins (pytest-pinned) --
+        "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "lang_id_hist": q_lang_id_hist,
         "media_pipeline": q_media_pipeline,
@@ -2791,6 +2812,12 @@ ORACLES["semantic_dedup_planted"] = """
            MIN(vec_id) OVER (PARTITION BY g) AS group_id,
            vec_id = MIN(vec_id) OVER (PARTITION BY g) AS keep
     FROM e ORDER BY id
+"""
+ORACLES["embedding_cosine_dups_scale_planted"] = """
+    WITH e AS (SELECT doc_id AS vec_id, doc_id % 16 AS g FROM documents)
+    SELECT x.vec_id AS a, y.vec_id AS b, CAST(1.0 AS DOUBLE) AS sim
+    FROM e x JOIN e y ON x.g = y.g AND x.vec_id < y.vec_id
+    ORDER BY a, b
 """
 
 

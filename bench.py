@@ -282,6 +282,26 @@ def _burn(n: int) -> int:
     return s
 
 
+def window_unstable(probes: list, eff_rounds: list,
+                    eff: float, ceiling: float) -> bool:
+    """Validity of a scaling window — host-side AND engine-side.
+
+    Host side: a ceiling probe > 1.05 is physically impossible under
+    stable CPU (the host throttled the probe's LOW-parallelism phase
+    relative to its high one — mid-measurement drift), and a > 0.2
+    spread across bracketed rounds means different rounds saw
+    different hosts. Engine side (the r2 gate hole): a median
+    efficiency > 1.02, or one exceeding what the host itself can
+    scale by > 5%, can only be drift the bracketing failed to cancel
+    (r2 published 1.0508 against a 0.9541 host ceiling — impossible).
+    Label the window rather than publish a number that reads as an
+    engine property."""
+    return max(probes) > 1.05 \
+        or (max(eff_rounds) - min(eff_rounds) > 0.2) \
+        or eff > 1.02 \
+        or (eff / ceiling) > 1.05
+
+
 def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
                 min_rounds: int = 3, max_rounds: int = 5) -> dict:
     """Alternate the two levels as lo hi lo hi lo ... so every hi run
@@ -401,21 +421,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     # 0.71 run read as engine inefficiency
     valid = [p for p in probes if p <= 1.02]
     ceiling = max(valid) if valid else statistics.median(probes)
-    # validity: a ceiling probe > 1.05 is physically impossible under
-    # stable CPU (the host throttled the probe's LOW-parallelism phase
-    # relative to its high one — mid-measurement drift), and a > 0.2
-    # spread across bracketed rounds means different rounds saw
-    # different hosts. The SAME physical argument applies to the
-    # engine's own ratio: a median efficiency > 1.02, or one that
-    # exceeds what the host itself can scale by > 5%, can only be
-    # drift that the bracketing failed to cancel (the r2 window
-    # published 1.0508 against a 0.9541 host ceiling — impossible).
-    # Label the window rather than publish a number that reads as an
-    # engine property.
-    unstable = max(probes) > 1.05 \
-        or (max(eff_rounds) - min(eff_rounds) > 0.2) \
-        or eff > 1.02 \
-        or (eff / ceiling) > 1.05
+    unstable = window_unstable(probes, eff_rounds, eff, ceiling)
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],

@@ -1,0 +1,156 @@
+"""bench.py reporting policy units — no Spark, no measurement.
+
+The round-2 failure modes these pin:
+  * a physically impossible engine headline (median efficiency above
+    the host's own ceiling) passed the validity gate and REPLACED the
+    stable cache;
+  * a stale stable cache could be republished after the gate
+    tightened;
+  * the final stdout JSON line overflowed the driver's 2000-char tail
+    capture, recording no parsed bench at all.
+"""
+
+import json
+
+import bench
+
+
+class TestWindowUnstable:
+    def test_healthy_window_is_stable(self):
+        assert not bench.window_unstable(
+            probes=[0.95, 0.97], eff_rounds=[0.94, 0.96, 0.95],
+            eff=0.95, ceiling=0.97)
+
+    def test_probe_drift_flags(self):
+        assert bench.window_unstable(
+            probes=[1.06, 0.95], eff_rounds=[0.95, 0.95, 0.95],
+            eff=0.95, ceiling=0.95)
+
+    def test_round_spread_flags(self):
+        assert bench.window_unstable(
+            probes=[0.95], eff_rounds=[0.80, 1.01, 0.95],
+            eff=0.95, ceiling=0.95)
+
+    def test_superunit_engine_median_flags(self):
+        # the exact r2 numbers: median 1.0508 vs ceiling 0.9541
+        assert bench.window_unstable(
+            probes=[0.9541, 0.8793],
+            eff_rounds=[1.0508, 1.0519, 0.9577],
+            eff=1.0508, ceiling=0.9541)
+
+    def test_engine_above_host_ceiling_flags(self):
+        # median <= 1.02 but still 10% above what the host can do
+        assert bench.window_unstable(
+            probes=[0.80, 0.82], eff_rounds=[0.90, 0.91, 0.90],
+            eff=0.90, ceiling=0.82)
+
+    def test_wide_window_low_ceiling_is_not_unstable(self):
+        # 8->32 on this VM: host ceiling ~0.75 and engine below it is
+        # business as usual, not drift
+        assert not bench.window_unstable(
+            probes=[0.74, 0.76], eff_rounds=[0.70, 0.72, 0.71],
+            eff=0.71, ceiling=0.76)
+
+
+class TestStableWindowPolicy:
+    LEVELS = (2, 8)
+
+    def _window(self, eff, ceiling, unstable):
+        return {
+            "local[2]": {"cores": 2, "wall_sec": 100.0, "docs": 1000,
+                         "docs_per_sec": 10.0, "chars_per_sec": 1.0},
+            "local[8]": {"cores": 8, "wall_sec": 25.0, "docs": 1000,
+                         "docs_per_sec": 40.0, "chars_per_sec": 4.0},
+            "scaling_factor": 4.0,
+            "scaling_efficiency": eff,
+            "scaling_efficiency_best": eff,
+            "efficiency_per_round": [eff],
+            "host_cpu_ceiling": ceiling,
+            "host_ceiling_probes": [ceiling],
+            "efficiency_vs_host_ceiling": round(eff / ceiling, 4),
+            "host_window_unstable": unstable,
+        }
+
+    def test_stable_window_writes_cache_and_is_returned(self, tmp_path,
+                                                        monkeypatch):
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+        w = self._window(0.95, 0.97, unstable=False)
+        out = bench.stable_window_policy(w, self.LEVELS, "corpusA")
+        assert out is w
+        cached = json.loads(
+            (tmp_path / "stable_2_8.json").read_text())
+        assert cached["scaling_efficiency"] == 0.95
+        assert cached["window_key"]["corpus"] == "corpusA"
+
+    def test_unstable_window_substitutes_valid_cache(self, tmp_path,
+                                                     monkeypatch):
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+        good = self._window(0.95, 0.97, unstable=False)
+        bench.stable_window_policy(good, self.LEVELS, "corpusA")
+        bad = self._window(0.70, 0.97, unstable=True)
+        out = bench.stable_window_policy(bad, self.LEVELS, "corpusA")
+        assert out["scaling_efficiency"] == 0.95
+        assert out["unstable_current_window"]["scaling_efficiency"] == 0.70
+
+    def test_poisoned_cache_never_republished(self, tmp_path, monkeypatch):
+        # a cache written before the engine-side gate existed (eff
+        # above the host ceiling) must NOT substitute for an unstable
+        # current window — the current window is reported verbatim
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+        import platform
+
+        poisoned = self._window(1.0508, 0.9541, unstable=False)
+        key = {"corpus": "corpusA", "levels": list(self.LEVELS),
+               "code": bench._package_code_digest(),
+               "host": platform.node()}
+        (tmp_path / "stable_2_8.json").write_text(
+            json.dumps({"window_key": key, **poisoned}))
+        bad = self._window(0.70, 0.97, unstable=True)
+        out = bench.stable_window_policy(bad, self.LEVELS, "corpusA")
+        assert out["scaling_efficiency"] == 0.70  # verbatim, no swap
+
+    def test_cache_key_mismatch_not_borrowed(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+        good = self._window(0.95, 0.97, unstable=False)
+        bench.stable_window_policy(good, self.LEVELS, "corpusA")
+        bad = self._window(0.70, 0.97, unstable=True)
+        out = bench.stable_window_policy(bad, self.LEVELS, "corpusB")
+        assert out["scaling_efficiency"] == 0.70
+
+
+class TestCompactLine:
+    def test_ext_summary_is_small_and_scalar(self):
+        w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
+        s = bench._ext_summary(w, (2, 8))
+        assert s["efficiency"] == 0.95
+        assert s["docs_per_sec"] == {"2": 10.0, "8": 40.0}
+        assert len(json.dumps(s)) < 250
+
+    def test_full_compact_line_fits_tail_capture(self):
+        # worst-case shape: every inline query present at 4-char
+        # timings + both window summaries
+        w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
+        wide = dict(w)
+        wide["local[32]"] = w["local[8]"]
+        compact = {
+            "metric": "bench_total_wall", "value": 999.999,
+            "unit": "sec",
+            "queries": {k: 99.999 for k in bench.INLINE_QUERIES},
+            "sf": "sf0.1",
+            "extraction": bench._ext_summary(w, (2, 8)),
+            "detail": "BENCH/bench_detail.json",
+            "extraction_wide": bench._ext_summary(wide, (8, 32)),
+        }
+        assert len(json.dumps(compact)) < 1500
