@@ -331,6 +331,61 @@ def q_minhash_lsh_pairs_md5(spark, sf_dir):
                       F.col("b").cast("long").alias("b"), "jaccard")
 
 
+def _minhash_index_cached(spark, sf_dir, corpus_df):
+    """Persisted MinHash index (md5 family) for the corpus slice of
+    {sf_dir}/documents.parquet — same per-snapshot cache discipline as
+    _ivf_cached: keyed by a fingerprint of the source parquet, built
+    under a temp dir, atomically renamed into place."""
+    import os
+    import pathlib
+    import shutil
+    import uuid
+    from dxnn_ocr_cpp_spark.operators.dedup import (read_minhash_index,
+                                                    write_minhash_index)
+    src = pathlib.Path(sf_dir) / "documents.parquet"
+    parts = sorted(src.rglob("*")) if src.is_dir() else [src]
+    stats = [p.stat() for p in parts if p.is_file()]
+    fp = (f"{sum(s.st_size for s in stats)}_"
+          f"{max((int(s.st_mtime) for s in stats), default=0)}")
+    cache = (f"/tmp/spark_graft_mhidx/"
+             f"{sf_dir.strip('/').replace('/', '_')}_md5_{fp}")
+    if not os.path.exists(f"{cache}/meta/_SUCCESS"):
+        tmp = f"{cache}.tmp.{uuid.uuid4().hex[:8]}"
+        write_minhash_index(corpus_df, tmp, hash_family="md5")
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return read_minhash_index(spark, cache)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a new crawl batch against a PERSISTED
+    corpus MinHash index (operators/dedup.py write_minhash_index /
+    incremental_dedup) — the shape a continuously-crawling pipeline
+    runs: corpus signatures are computed once per snapshot, each new
+    batch pays only its own narrow signature map plus keyed joins.
+
+    Fixture: corpus = doc_id % 10 != 0 (indexed), batch = doc_id % 10
+    == 0 (deduped against the index, then among themselves). md5
+    family at threshold 0.4, so the DuckDB oracle replays the banding,
+    the cross verify + argmax (rounded jaccard DESC, corpus id ASC),
+    and the batch-internal closure via recursive CTE — certifying both
+    stages end-to-end."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import incremental_dedup
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    index = _minhash_index_cached(spark, sf_dir, corpus)
+    out = incremental_dedup(batch, index, threshold=0.4,
+                            carry="ride_along")
+    return (out.select(F.col("id").cast("long").alias("id"),
+                       F.col("dup_of").cast("long").alias("dup_of"),
+                       "jaccard", "keep")
+            .orderBy("id"))
+
+
 def q_simhash_pairs_md5(spark, sf_dir):
     """SimHash hamming<=3 pairs over the md5 token-hash family — the
     oracle-replayable twin of q_simhash_pairs.  Token bits come from the
@@ -2052,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: composed pipelines (the engine's headline work) --
         "extract_corpus": q_extract_corpus,
         "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
+        "incremental_dedup": q_incremental_dedup,
         "frontier_build": q_frontier_build,
         "curate_keeplist": q_curate_keeplist,
         "quality_classifier": q_quality_classifier,
@@ -2102,9 +2158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_scale_planted":
             q_embedding_cosine_dups_scale_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
-        "media_decode": q_media_decode,
         # ---- driver window (first 50) ends here ----
         # -- tier 3: roundtrips / events / TPC-H twins (pytest-pinned) --
+        "media_decode": q_media_decode,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "lang_id_hist": q_lang_id_hist,
@@ -3652,6 +3708,52 @@ ORACLES["fuzzy_dedup_keeplist"] = f"""
     WHERE NOT EXISTS (SELECT 1 FROM ranked r
                       WHERE r.node = d.doc_id AND r.rk > 1)
     ORDER BY d.doc_id
+"""
+
+
+# incremental dedup vs a persisted index: the md5 CTE mines ALL pairs
+# at the same threshold, so the oracle derives both stages from it —
+# cross (batch x corpus) matches feed the argmax (rounded jaccard DESC,
+# corpus id ASC); batch-internal pairs among the survivors close under
+# a recursive CTE with min-id representatives.
+ORACLES["incremental_dedup"] = f"""
+    WITH RECURSIVE {_MINHASH_MD5_CTE},
+    batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    xm AS (
+      SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS nid,
+             CASE WHEN a % 10 = 0 THEN b ELSE a END AS cid,
+             jaccard
+      FROM mh_pairs
+      WHERE (a % 10 = 0) <> (b % 10 = 0)),
+    best AS (
+      SELECT nid, cid, jaccard,
+             row_number() OVER (PARTITION BY nid
+                                ORDER BY jaccard DESC, cid ASC) AS rk
+      FROM xm),
+    surv AS (SELECT doc_id FROM batch
+             WHERE doc_id NOT IN (SELECT nid FROM best)),
+    bp AS (SELECT a, b FROM mh_pairs
+           WHERE a IN (SELECT doc_id FROM surv)
+             AND b IN (SELECT doc_id FROM surv)),
+    e AS (SELECT a AS u, b AS v FROM bp UNION SELECT b, a FROM bp),
+    reach(v, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, reach.r FROM e JOIN reach ON e.u = reach.v),
+    comp AS (SELECT v AS node, min(r) AS component
+             FROM reach GROUP BY v)
+    SELECT b.doc_id AS id,
+           coalesce(bm.cid,
+                    CASE WHEN c.component <> b.doc_id
+                         THEN c.component END) AS dup_of,
+           bm.jaccard AS jaccard,
+           (bm.cid IS NULL
+            AND coalesce(c.component, b.doc_id) = b.doc_id) AS keep
+    FROM batch b
+    LEFT JOIN (SELECT nid, cid, jaccard FROM best WHERE rk = 1) bm
+      ON bm.nid = b.doc_id
+    LEFT JOIN comp c ON c.node = b.doc_id
+    ORDER BY b.doc_id
 """
 
 

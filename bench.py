@@ -172,6 +172,7 @@ HEADLINE = [
     "quality_classifier",
     "dedup_canonical",
     "fuzzy_dedup_keeplist",
+    "incremental_dedup",
     "corpus_stats",
 ]
 
@@ -211,6 +212,16 @@ def scaling_worker(cores: int, corpus: str) -> dict:
                               # straggler tail at the higher level
                               "spark.sql.files.maxPartitionBytes": "1m",
                               "spark.sql.files.openCostInBytes": "512k",
+                              # constant heap PER TASK, not per JVM: the
+                              # default 8g driver heap gives a 2-core
+                              # run 4g/task but a 32-core run 250MB/task
+                              # on MB-scale html rows — the 32-core leg
+                              # then measures GC, not the engine. On a
+                              # real cluster this is executor-memory /
+                              # executor-cores sizing; local mode puts
+                              # every task in the one driver JVM.
+                              "spark.driver.memory":
+                                  f"{max(8, cores // 2)}g",
                           })
     try:
         docs = spark.read.parquet(corpus)
@@ -814,7 +825,8 @@ def run_modes(names: list) -> None:
 # subset (the composed pipelines + the costliest operator families)
 # keeps the driver-visible line well under the capture window.
 INLINE_QUERIES = [
-    "fuzzy_dedup_keeplist", "quality_classifier", "curate_keeplist",
+    "fuzzy_dedup_keeplist", "incremental_dedup", "quality_classifier",
+    "curate_keeplist",
     "frontier_build", "dedup_clusters", "host_pagerank",
     "winnow_pairs", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_ivf_topk", "embedding_lsh_topk",
@@ -856,7 +868,14 @@ def main() -> None:
         wide = run_scaling(wide_corpus, WIDE_LEVELS,
                            min_rounds=2, max_rounds=4)
         wide = stable_window_policy(wide, WIDE_LEVELS, wide_corpus)
-    timings = run_queries()
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
+        # iteration aid: refresh the scaling windows without paying
+        # the query phase; report/detail keep the prior query table
+        prior = REPO / "BENCH" / "bench_detail.json"
+        timings = (json.loads(prior.read_text()).get("queries", {})
+                   if prior.exists() else {})
+    else:
+        timings = run_queries()
     payload = {
         "metric": "bench_total_wall",
         "value": round(sum(timings.values()), 3),

@@ -299,6 +299,190 @@ def word_shingles_and_minhash(text_col, n: int = 3, num_perm: int = 64):
     return shingles_minhash(text_col)
 
 
+def minhash_signature_table(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_perm: int = 64,
+                            hash_family: str = "xxhash64") -> DataFrame:
+    """(id, sh, sig) — shingle set + num_perm-minima MinHash signature
+    per document. Factored out of minhash_lsh_pairs so the one-shot
+    pair miner, the persisted index writer (write_minhash_index), and
+    the incremental-batch path (incremental_dedup) share one builder
+    and can never drift apart on tokenization or the hash family."""
+    # the num_perm-permutation signature build is the CPU-heavy stage
+    # and runs BEFORE the first exchange — widen a small-file scan so
+    # it isn't serialized on one core (no-op at cluster scale)
+    df = ensure_min_partitions(df)
+    if hash_family == "md5":
+        # oracle-replayable family: string grams -> ONE md5 pass into
+        # Z_P points (staged so CollapseProject cannot inline the md5
+        # transform into all num_perm seed minima — multi-use non-cheap
+        # aliases stay staged), then integer affine permutation minima
+        sh = df.select(F.col(id_col).alias("id"),
+                       word_grams(F.col(text_col), n).alias("sh"))
+        staged = sh.select("id", "sh",
+                           F.transform("sh", _md5_gram_int).alias("__xs"))
+        return staged.select(
+            "id", "sh",
+            F.array(*[F.array_min(F.transform(F.col("__xs"),
+                                              _mh_affine(i)))
+                      for i in range(num_perm)]).alias("sig"))
+    # production family: fused shingle+signature Arrow kernel (the
+    # 64 interpreted HOF transforms were the query's hot spot)
+    both = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_and_minhash(F.col(text_col), n, num_perm)
+        .alias("m"))
+    return both.select("id", F.col("m.sh").alias("sh"),
+                       F.col("m.sig").alias("sig"))
+
+
+def _band_bucket(b: int, rows_per_band: int, hash_family: str):
+    cols = [F.col("sig")[b * rows_per_band + r]
+            for r in range(rows_per_band)]
+    if hash_family == "md5":
+        # oracle-replayable: the band key is the '|'-joined integer
+        # minhashes themselves (string_agg ORDER BY seed in SQL)
+        return F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.xxhash64(*cols)
+
+
+def _band_struct_explode(num_perm: int, bands: int, hash_family: str):
+    rows_per_band = num_perm // bands
+    return F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 _band_bucket(b, rows_per_band, hash_family)
+                 .alias("bucket"))
+        for b in range(bands)
+    ])).alias("bb")
+
+
+def write_minhash_index(df: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, num_perm: int = 64, bands: int = 16,
+                        hash_family: str = "xxhash64") -> None:
+    """Persist the MinHash index for a corpus snapshot — the
+    production contract minhash_lsh_pairs' join_back docstring names
+    ('the shingle table is a persisted signature table: write once,
+    join per run'), made concrete:
+
+      {path}/bands     (band, bucket, id), partitioned by band
+      {path}/shingles  (id, sh)
+      {path}/meta      one row of the family parameters, so a reader
+                       can never probe with a mismatched family
+
+    Training-data pipelines recrawl continuously; recomputing
+    signatures for 10^12 already-indexed documents per batch is the
+    scale-killer this avoids. At cluster scale write both tables as
+    Iceberg, bands bucketed on (bucket) within each band partition so
+    the incremental join co-locates without a corpus-side shuffle."""
+    sig = minhash_signature_table(df, id_col, text_col, n, num_perm,
+                                  hash_family)
+    bands_df = (sig.select("id",
+                           _band_struct_explode(num_perm, bands,
+                                                hash_family))
+                .select("id", "bb.band", "bb.bucket"))
+    (bands_df.repartition("band")
+     .write.partitionBy("band").mode("overwrite")
+     .parquet(f"{path}/bands"))
+    sig.select("id", "sh").write.mode("overwrite") \
+        .parquet(f"{path}/shingles")
+    spark = df.sparkSession
+    (spark.createDataFrame(
+        [(int(n), int(num_perm), int(bands), hash_family)],
+        "n int, num_perm int, bands int, hash_family string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def read_minhash_index(spark, path: str) -> tuple:
+    """-> (bands_df, shingles_df, meta dict) from write_minhash_index."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    return (spark.read.parquet(f"{path}/bands"),
+            spark.read.parquet(f"{path}/shingles"),
+            meta)
+
+
+def incremental_dedup(new_docs: DataFrame, index: tuple,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = 0.5,
+                      carry: str = "auto",
+                      approx_docs: int | None = None) -> DataFrame:
+    """Dedup a NEW batch of documents against a persisted corpus index
+    (read_minhash_index output) WITHOUT rescanning the corpus — the
+    incremental shape every continuously-crawling pipeline runs.
+
+    Two deterministic stages:
+      1. corpus stage — batch signatures (a narrow map over the BATCH
+         only) band-join the index; a new doc that verifies (exact
+         Jaccard >= threshold) against ANY indexed doc is dropped;
+         dup_of = the best match (max rounded jaccard, ties to the
+         smaller corpus id).
+      2. batch stage — the survivors are deduped among THEMSELVES
+         with the same family via minhash_lsh_pairs + connected
+         components; each component keeps its min id.
+
+    Returns one row per new doc: (id, dup_of, jaccard, keep) — dup_of
+    null for kept docs, jaccard only for corpus-stage drops (batch-
+    stage drops point at their kept representative).
+
+    Scale shape: corpus-side cost is ONE band-bucket equi-join against
+    the band-partitioned index plus a shingle join for verification —
+    both keyed, both prunable; nothing rescans or re-hashes indexed
+    documents. The batch stage is minhash_lsh_pairs at batch size."""
+    index_bands, index_sh, meta = index
+    n, num_perm = int(meta["n"]), int(meta["num_perm"])
+    bands, hash_family = int(meta["bands"]), meta["hash_family"]
+    sig = minhash_signature_table(new_docs, id_col, text_col, n,
+                                  num_perm, hash_family)
+    nb = (sig.select("id", "sh",
+                     _band_struct_explode(num_perm, bands, hash_family))
+          .select("id", "sh", "bb.band", "bb.bucket"))
+    cand = (nb.join(index_bands.select(F.col("id").alias("cid"),
+                                       "band", "bucket"),
+                    ["band", "bucket"])
+            .select("id", "sh", "cid")
+            .dropDuplicates(["id", "cid"]))
+    ver = cand.join(index_sh.select(F.col("id").alias("cid"),
+                                    F.col("sh").alias("shc")), "cid")
+    inter = F.size(F.array_intersect("sh", "shc")).cast("double")
+    union = (F.size("sh") + F.size("shc")).cast("double") - inter
+    jac = inter / F.greatest(union, F.lit(1.0))
+    matched = (ver.withColumn("jaccard", F.round(jac, 6))
+               .filter(jac >= threshold))
+    # best corpus match per new doc: max rounded jaccard, ties to the
+    # smaller corpus id (struct max is lexicographic)
+    best = (matched.groupBy("id")
+            .agg(F.max(F.struct(F.col("jaccard"),
+                                (-F.col("cid")).alias("neg"),
+                                F.col("cid"))).alias("m"))
+            .select("id", F.col("m.cid").alias("dup_of"),
+                    F.col("m.jaccard").alias("jaccard")))
+    survivors = new_docs.join(
+        best.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    pairs = minhash_lsh_pairs(survivors, id_col=id_col,
+                              text_col=text_col, n=n,
+                              num_perm=num_perm, bands=bands,
+                              threshold=threshold, carry=carry,
+                              approx_docs=approx_docs,
+                              hash_family=hash_family)
+    from dxnn_ocr_cpp_spark.operators.cc import connected_components
+    comp = (connected_components(pairs.select("a", "b"), "a", "b")
+            .select(F.col("node").alias("id"),
+                    F.col("component").alias("rep")))
+    ids = new_docs.select(F.col(id_col).alias("id"))
+    return (ids.join(best, "id", "left")
+            .join(comp, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("dup_of"),
+                    F.when(F.col("rep") != F.col("id"), F.col("rep")))
+                .alias("dup_of"),
+                "jaccard",
+                (F.col("dup_of").isNull()
+                 & (F.coalesce(F.col("rep"), F.col("id"))
+                    == F.col("id"))).alias("keep")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_perm: int = 64, bands: int = 16,
@@ -352,50 +536,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if carry == "auto":
         n_docs = approx_docs if approx_docs is not None else df.count()
         carry = "ride_along" if n_docs <= ride_along_max_docs else "join_back"
-    rows_per_band = num_perm // bands
-    # the 64-permutation signature build is the CPU-heavy stage and
-    # runs BEFORE the first exchange — widen a small-file scan so it
-    # isn't serialized on one core (no-op at cluster scale)
-    df = ensure_min_partitions(df)
-    if hash_family == "md5":
-        # oracle-replayable family: string grams -> ONE md5 pass into
-        # Z_P points (staged so CollapseProject cannot inline the md5
-        # transform into all num_perm seed minima — multi-use non-cheap
-        # aliases stay staged), then integer affine permutation minima
-        sh = df.select(F.col(id_col).alias("id"),
-                       word_grams(F.col(text_col), n).alias("sh"))
-        staged = sh.select("id", "sh",
-                           F.transform("sh", _md5_gram_int).alias("__xs"))
-        sig = staged.select(
-            "id", "sh",
-            F.array(*[F.array_min(F.transform(F.col("__xs"),
-                                              _mh_affine(i)))
-                      for i in range(num_perm)]).alias("sig"))
-    else:
-        # production family: fused shingle+signature Arrow kernel (the
-        # 64 interpreted HOF transforms were the query's hot spot)
-        both = df.select(
-            F.col(id_col).alias("id"),
-            word_shingles_and_minhash(F.col(text_col), n, num_perm)
-            .alias("m"))
-        sig = both.select("id", F.col("m.sh").alias("sh"),
-                          F.col("m.sig").alias("sig"))
-        sh = sig.select("id", "sh")
-
-    def _bucket(b: int):
-        cols = [F.col("sig")[b * rows_per_band + r]
-                for r in range(rows_per_band)]
-        if hash_family == "md5":
-            # oracle-replayable: the band key is the '|'-joined integer
-            # minhashes themselves (string_agg ORDER BY seed in SQL)
-            return F.concat_ws("|", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)
+    sig = minhash_signature_table(df, id_col, text_col, n, num_perm,
+                                  hash_family)
+    sh = sig.select("id", "sh")
 
     def band_structs():
-        return F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb")
+        return _band_struct_explode(num_perm, bands, hash_family)
 
     if carry == "ride_along":
         # shingles ride through the band explode as int64 arrays
