@@ -293,24 +293,45 @@ def _burn(n: int) -> int:
     return s
 
 
-def window_unstable(probes: list, eff_rounds: list,
-                    eff: float, ceiling: float) -> bool:
+def window_unstable(bracket_probes: list, eff_rounds: list,
+                    eff: float, ceiling: float,
+                    dps: tuple | None = None) -> bool:
     """Validity of a scaling window — host-side AND engine-side.
 
     Host side: a ceiling probe > 1.05 is physically impossible under
     stable CPU (the host throttled the probe's LOW-parallelism phase
     relative to its high one — mid-measurement drift), and a > 0.2
     spread across bracketed rounds means different rounds saw
-    different hosts. Engine side (the r2 gate hole): a median
-    efficiency > 1.02, or one exceeding what the host itself can
-    scale by > 5%, can only be drift the bracketing failed to cancel
-    (r2 published 1.0508 against a 0.9541 host ceiling — impossible).
-    Label the window rather than publish a number that reads as an
-    engine property."""
-    return max(probes) > 1.05 \
+    different hosts. bracket_probes are only the probes that BRACKET
+    the measured rounds (the gate probe that admitted measurement +
+    the post-run probe): earlier pre-gate probes the health gate
+    rejected and waited out are published for context but do not gate
+    validity — a rejected probe that merely DELAYED the start is
+    evidence the gate worked, not that the measurement drifted (one
+    leftover-load 1.155 start-up probe flagged an otherwise clean
+    window). Engine side (the r2 gate hole): a median efficiency >
+    1.02, or one exceeding what the host itself can scale by > 5%,
+    can only be drift the bracketing failed to cancel (r2 published
+    1.0508 against a 0.9541 host ceiling — impossible). Label the
+    window rather than publish a number that reads as an engine
+    property.
+
+    dps is (best lo-level docs/sec, best hi-level docs/sec): the
+    measured job is a zero-shuffle, independent-partition map, so
+    best throughput is monotone in cores on a healthy host; hi
+    strictly BELOW lo across interleaved rounds means the hi legs ran
+    on a different effective machine (observed: a cgroup-throttled
+    window where local[32] 'measured' 0.21 efficiency with local[32]
+    wall slower than local[8], while a standalone worker minutes
+    later hit full throughput). This check is specific to
+    embarrassingly-parallel jobs — a shuffling job could honestly
+    scale negatively."""
+    lo_dps, hi_dps = dps if dps is not None else (0.0, 1.0)
+    return max(bracket_probes) > 1.05 \
         or (max(eff_rounds) - min(eff_rounds) > 0.2) \
         or eff > 1.02 \
-        or (eff / ceiling) > 1.05
+        or (eff / ceiling) > 1.05 \
+        or hi_dps <= lo_dps
 
 
 def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
@@ -394,6 +415,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     while not healthy(probes[-1]) and len(probes) < 5:
         time.sleep(90)
         probes.append(cpu_ceiling(lo, hi))
+    gate_probe = probes[-1]  # the probe that admitted measurement
 
     for _ in range(min_rounds):
         one_round()
@@ -432,7 +454,9 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     # 0.71 run read as engine inefficiency
     valid = [p for p in probes if p <= 1.02]
     ceiling = max(valid) if valid else statistics.median(probes)
-    unstable = window_unstable(probes, eff_rounds, eff, ceiling)
+    unstable = window_unstable(
+        [gate_probe, post], eff_rounds, eff, ceiling,
+        dps=(results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]))
     return {
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -504,11 +528,17 @@ def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
         # SAME parallelism pair — never borrow across configurations —
         # and re-check the cached window against the CURRENT validity
         # predicate, so a window cached before a gate was tightened
-        # (the r2 1.0508 headline) can never be republished
+        # (the r2 1.0508 headline; the r3 throttled-cgroup window
+        # where hi-level throughput fell below lo-level) can never be
+        # republished
         eff = stable.get("scaling_efficiency", 99)
         ceil = stable.get("host_cpu_ceiling", 1e-9)
+        lo_dps = stable.get(f"local[{levels[0]}]", {}) \
+            .get("docs_per_sec", 0.0)
+        hi_dps = stable.get(f"local[{levels[1]}]", {}) \
+            .get("docs_per_sec", 1.0)
         if (stable.get("window_key") == key and eff <= 1.02
-                and eff / ceil <= 1.05):
+                and eff / ceil <= 1.05 and hi_dps > lo_dps):
             stable["unstable_current_window"] = ext
             return stable
     return ext

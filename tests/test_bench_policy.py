@@ -18,38 +18,65 @@ import bench
 class TestWindowUnstable:
     def test_healthy_window_is_stable(self):
         assert not bench.window_unstable(
-            probes=[0.95, 0.97], eff_rounds=[0.94, 0.96, 0.95],
+            bracket_probes=[0.95, 0.97], eff_rounds=[0.94, 0.96, 0.95],
             eff=0.95, ceiling=0.97)
 
     def test_probe_drift_flags(self):
         assert bench.window_unstable(
-            probes=[1.06, 0.95], eff_rounds=[0.95, 0.95, 0.95],
+            bracket_probes=[1.06, 0.95], eff_rounds=[0.95, 0.95, 0.95],
             eff=0.95, ceiling=0.95)
 
     def test_round_spread_flags(self):
         assert bench.window_unstable(
-            probes=[0.95], eff_rounds=[0.80, 1.01, 0.95],
+            bracket_probes=[0.95], eff_rounds=[0.80, 1.01, 0.95],
             eff=0.95, ceiling=0.95)
 
     def test_superunit_engine_median_flags(self):
         # the exact r2 numbers: median 1.0508 vs ceiling 0.9541
         assert bench.window_unstable(
-            probes=[0.9541, 0.8793],
+            bracket_probes=[0.9541, 0.8793],
             eff_rounds=[1.0508, 1.0519, 0.9577],
             eff=1.0508, ceiling=0.9541)
 
     def test_engine_above_host_ceiling_flags(self):
         # median <= 1.02 but still 10% above what the host can do
         assert bench.window_unstable(
-            probes=[0.80, 0.82], eff_rounds=[0.90, 0.91, 0.90],
+            bracket_probes=[0.80, 0.82], eff_rounds=[0.90, 0.91, 0.90],
             eff=0.90, ceiling=0.82)
 
     def test_wide_window_low_ceiling_is_not_unstable(self):
         # 8->32 on this VM: host ceiling ~0.75 and engine below it is
         # business as usual, not drift
         assert not bench.window_unstable(
-            probes=[0.74, 0.76], eff_rounds=[0.70, 0.72, 0.71],
-            eff=0.71, ceiling=0.76)
+            bracket_probes=[0.74, 0.76], eff_rounds=[0.70, 0.72, 0.71],
+            eff=0.71, ceiling=0.76, dps=(5000.0, 11000.0))
+
+    def test_nonmonotone_throughput_flags(self):
+        # zero-shuffle embarrassingly-parallel job: best throughput at
+        # 4x cores BELOW the lo level = the hi legs ran on a throttled
+        # host (the r3 cgroup window), not an engine property
+        assert bench.window_unstable(
+            bracket_probes=[0.96, 0.84], eff_rounds=[0.21, 0.26, 0.18],
+            eff=0.21, ceiling=0.96, dps=(6666.0, 6295.0))
+
+    def test_poisoned_nonmonotone_cache_never_republished(
+            self, tmp_path, monkeypatch):
+        import json as _json
+        import platform
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / "s.json")
+        w = TestStableWindowPolicy()._window(0.21, 0.96, unstable=False)
+        w["local[8]"]["docs_per_sec"] = 5.0  # below local[2]'s 10.0
+        key = {"corpus": "c", "levels": [2, 8],
+               "code": bench._package_code_digest(),
+               "host": platform.node()}
+        (tmp_path / "s.json").write_text(
+            _json.dumps({"window_key": key, **w}))
+        bad = TestStableWindowPolicy()._window(0.7, 0.97, unstable=True)
+        out = bench.stable_window_policy(bad, (2, 8), "c")
+        assert out["scaling_efficiency"] == 0.7  # verbatim, no swap
 
 
 class TestStableWindowPolicy:
