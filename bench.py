@@ -208,9 +208,20 @@ def scaling_worker(cores: int, corpus: str) -> dict:
                           master=f"local[{cores}]",
                           shuffle_partitions=cores * 2,
                           extra_conf={
-                              # fine input splits -> many waves, no
-                              # straggler tail at the higher level
-                              "spark.sql.files.maxPartitionBytes": "1m",
+                              # split sizing balances two costs: fine
+                              # splits give many waves (no straggler
+                              # tail at the higher level) but each task
+                              # pays an Arrow-stream + python-worker
+                              # round-trip setup. Measured at 32 cores
+                              # on the 600k corpus: 1m splits (~1200
+                              # tasks) 13.4k docs/s, 4m (~300 tasks,
+                              # 9+ waves at 32) 17.3k, 16m flat at
+                              # 17.2k — 4m amortizes per-task overhead
+                              # while keeping full waves. (A real
+                              # cluster's 128m default never hits
+                              # this; it is a local-bench artifact of
+                              # MB-scale html rows.)
+                              "spark.sql.files.maxPartitionBytes": "4m",
                               "spark.sql.files.openCostInBytes": "512k",
                               # constant heap PER TASK, not per JVM: the
                               # default 8g driver heap gives a 2-core
