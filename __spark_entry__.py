@@ -1356,6 +1356,43 @@ def q_line_dedup(spark, sf_dir):
                     F.md5("text_clean").alias("clean_fp")))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup, first occurrence wins
+    (operators/curation.py, dedup_paragraphs) — the CCNet/C4 companion
+    of line_dedup at paragraph granularity: ANY paragraph seen anywhere
+    else in the corpus (or earlier in the same doc) is dropped, not
+    just high-frequency ones. Injection plants a cookie paragraph on
+    every doc (only the (doc_id,pos)-smallest instance survives), a
+    promo paragraph on doc_id%3==0, and an intra-doc repeat of the
+    cookie paragraph on doc_id%5==0; the DuckDB twin replays the
+    split, the min-(doc_id,pos) winner rule, and ordered reassembly.
+    dedup_fp = md5 of the reassembled text pins byte-exact reassembly
+    through the driver's hash compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import dedup_paragraphs
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text3 = F.concat(
+        F.lit(_PD_COOKIE + "\n\n"),
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("\n\n" + _PD_PROMO))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\n\n" + _PD_COOKIE))
+         .otherwise(F.lit("")))
+    inj = d.select("doc_id", text3.alias("text3"))
+    return (dedup_paragraphs(inj, text_col="text3")
+            .select("doc_id", "n_paras", "n_dropped",
+                    F.md5("text_dedup").alias("dedup_fp")))
+
+
+# paragraph-dedup injected boilerplate, shared verbatim by the Spark
+# query above and the DuckDB oracle below (one source of truth)
+_PD_COOKIE = ("This site uses cookies. By continuing to browse you "
+              "accept our cookie policy.")
+_PD_PROMO = ("Subscribe to our newsletter for weekly updates and "
+             "exclusive offers.")
+
+
 # duplicated-span injection shared by q_duplicate_spans/q_span_dedup
 # and their oracles: a >100-char boilerplate block spliced into every
 # doc_id%3==0 doc at a doc-dependent offset (doc_id%37), so the spans
@@ -1628,6 +1665,44 @@ def q_snapshot_diff(spark, sf_dir):
                     F.coalesce("old_fp", F.lit("")).alias("old_fp"),
                     F.coalesce("new_fp", F.lit("")).alias("new_fp"))
             .orderBy("url"))
+
+
+def q_incremental_refresh(spark, sf_dir):
+    """Churn-only refresh of a derived table across snapshots
+    (operators/snapshots.py incremental_refresh): reuse previous
+    results for unchanged pages, reprocess only added/changed keys,
+    drop removed ones — the monthly-dump shape where the expensive
+    stage runs over a few percent of the corpus. Same synthesized
+    snapshot pair as q_snapshot_diff; process_fn derives
+    (url, n_chars_out, text_md5) per page. The refresh contract is
+    row-identity with processing the new snapshot outright, so the
+    oracle computes exactly that — while the Spark side actually
+    takes the reuse/reprocess path (the reuse split itself is pinned
+    in tests/test_snapshots.py)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.snapshots import incremental_refresh
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = d.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                 F.lit(".example.org/d"), i.cast("string")).alias("url"),
+        "text")
+    old = base.filter(F.col("doc_id") % 11 != 3).select("url", "text")
+    new = (base.filter(F.col("doc_id") % 13 != 5)
+           .select("url",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.concat(F.col("text"), F.lit(" [rev2]")))
+                   .otherwise(F.col("text")).alias("text")))
+
+    def proc(docs):
+        return docs.select(
+            "url",
+            F.length("text").cast("long").alias("n_chars_out"),
+            F.md5("text").alias("text_md5"))
+
+    prev = proc(old)
+    return incremental_refresh(old, new, prev, proc).orderBy("url")
 
 
 def _linky_docs(spark, sf_dir):
@@ -2144,7 +2219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_filters": q_repetition_filters,
         "decontaminate": q_decontaminate,
-        "nfc_normalize": q_nfc_normalize,
         "fix_mojibake": q_fix_mojibake,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2159,8 +2233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_embedding_cosine_dups_scale_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
         # ---- driver window (first 50) ends here ----
-        # -- tier 3: roundtrips / events / TPC-H twins (pytest-pinned) --
+        # -- tier 3: oracle-backed but past the window (pytest-pinned
+        #    by test_oracle_parity.py, same compare as the driver) --
+        "incremental_refresh": q_incremental_refresh,
+        "paragraph_dedup": q_paragraph_dedup,
         "media_decode": q_media_decode,
+        "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "lang_id_hist": q_lang_id_hist,
@@ -3134,6 +3212,49 @@ ORACLES["line_dedup"] = """
     GROUP BY t.doc_id, t.n_lines
 """
 
+ORACLES["paragraph_dedup"] = f"""
+    WITH inj AS (
+      SELECT doc_id,
+             '{_PD_COOKIE}' || chr(10) || chr(10) || text
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || chr(10) || '{_PD_PROMO}'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN chr(10) || chr(10) || '{_PD_COOKIE}'
+                      ELSE '' END) AS text3
+      FROM documents),
+    splits AS (SELECT doc_id,
+                      string_split(text3, chr(10) || chr(10)) AS l
+               FROM inj),
+    paras AS (
+      SELECT doc_id,
+             unnest([{{'pos': CAST(i - 1 AS BIGINT), 'para': l[i]}}
+                     for i in range(1, len(l) + 1)], recursive := true)
+      FROM splits),
+    keyed AS (SELECT doc_id, pos, para, md5(trim(para)) AS pkey
+              FROM paras),
+    winners AS (
+      SELECT pkey, doc_id, pos FROM (
+        SELECT pkey, doc_id, pos,
+               row_number() OVER (PARTITION BY pkey
+                                  ORDER BY doc_id, pos) AS rn
+        FROM keyed WHERE trim(para) <> '') WHERE rn = 1),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.para FROM keyed k
+      JOIN winners w
+        ON k.pkey = w.pkey AND k.doc_id = w.doc_id AND k.pos = w.pos
+      UNION ALL
+      SELECT doc_id, pos, para FROM keyed WHERE trim(para) = ''),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+               FROM paras GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           CAST(t.n_paras - count(k.para) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(k.para, chr(10) || chr(10)
+                                   ORDER BY k.pos), '')) AS dedup_fp
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.n_paras
+"""
+
 # Content-defined-chunking twins (operators/cdc.py, md5 family,
 # w=16, p=32): the shared CTE block replays injection (same
 # _CDC_BOILER constant the Spark query splices — one source of
@@ -3473,6 +3594,25 @@ ORACLES["snapshot_diff"] = """
            coalesce(n.new_fp, '') AS new_fp
     FROM old o FULL OUTER JOIN new n ON o.url = n.url
     ORDER BY 1
+"""
+
+# the refresh CONTRACT is row-identity with processing the new
+# snapshot outright — the oracle computes that directly; the Spark
+# side takes the reuse/reprocess path to get there
+ORACLES["incremental_refresh"] = """
+    WITH base AS (
+      SELECT doc_id,
+             'https://h' || (doc_id % 5) || '.example.org/d'
+               || doc_id AS url,
+             text
+      FROM documents),
+    new AS (SELECT url,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM base WHERE doc_id % 13 <> 5)
+    SELECT url, CAST(length(text) AS BIGINT) AS n_chars_out,
+           md5(text) AS text_md5
+    FROM new ORDER BY url
 """
 
 

@@ -554,6 +554,72 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                      ).cast("long").alias("n_dropped")))
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph dedup, first occurrence wins: every
+    paragraph that appears anywhere else in the corpus (or earlier in
+    the same document) is dropped, and each document is reassembled
+    from its surviving paragraphs in original order — the
+    paragraph-level companion of remove_boilerplate_lines (CCNet /
+    C4 dedupe at paragraph granularity rather than frequency-gated
+    line granularity).
+
+    "First occurrence" is the (id, pos)-lexicographically smallest
+    instance of the trimmed paragraph's hash, so the keep decision is
+    deterministic and independent of partitioning. Blank paragraphs
+    (runs of >2 newlines produce empty splits) carry layout, not
+    content, and are always kept in place.
+
+    Scale shape (10^12 docs):
+      explode paragraphs   narrow (posexplode over split, no shuffle)
+      first-winner         ONE groupBy on md5(para) computing
+                           min(struct(id, pos)) — partial aggregation,
+                           result is one row per DISTINCT paragraph
+      classify             shuffle join occurrences ⋈ winners on the
+                           paragraph hash; both sides partition on the
+                           same key, no second exchange of the big side
+      reassemble           ONE groupBy on doc id: array_sort +
+                           array_join (same shape as line dedup)
+    Never O(n²); no window over an unbounded group.
+
+    Returns (id_col, text_dedup, n_paras, n_dropped).
+
+    Reference analog: the per-request consecutive-duplicate collapse
+    (/root/reference/src/decoders.cc CTC dedupe step) lifted from one
+    sequence's adjacent tokens to corpus-wide paragraph identity.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"))
+    keyed = paras.withColumn("pkey", F.md5(F.trim(F.col("para"))))
+    nonblank = keyed.filter(F.trim(F.col("para")) != "")
+    winners = (nonblank.groupBy("pkey")
+               .agg(F.min(F.struct(
+                   F.col(id_col).alias("id"),
+                   F.col("pos").alias("pos"))).alias("first")))
+    classified = (keyed.join(winners, "pkey", "left")
+                  .filter((F.trim(F.col("para")) == "")
+                          | ((F.col("first.id") == F.col(id_col))
+                             & (F.col("first.pos") == F.col("pos")))))
+    survivors = (classified
+                 .groupBy(id_col)
+                 .agg(F.array_sort(F.collect_list(
+                          F.struct("pos", "para"))).alias("kept"),
+                      F.count(F.lit(1)).cast("long").alias("n_kept")))
+    totals = (paras.groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_paras")))
+    return (totals.join(survivors, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(
+                        F.array_join(F.transform(
+                            "kept", lambda s: s["para"]), "\n\n"),
+                        F.lit("")).alias("text_dedup"),
+                    F.col("n_paras"),
+                    (F.col("n_paras") - F.coalesce(F.col("n_kept"),
+                                                   F.lit(0))
+                     ).cast("long").alias("n_dropped")))
+
+
 # ---------- mojibake repair (ftfy-class double-encoding fix) ----------
 
 # A UTF-8 byte sequence read back as Latin-1 shows a lead-byte char

@@ -225,6 +225,52 @@ class TestLineDedup:
         assert out[1]["text_clean"] == "body 1"   # df=10 >= 0.5*10
 
 
+class TestParagraphDedup:
+    @pytest.fixture(scope="class")
+    def deduped(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import dedup_paragraphs
+        docs = spark.createDataFrame(
+            [(0, "alpha\n\nshared para\n\nbeta0"),
+             (1, "shared para\n\ngamma1"),      # cross-doc dup
+             (2, "delta2\n\ndelta2"),           # intra-doc dup
+             (3, "a\n\n\n\nb"),                 # blank para carries layout
+             (4, ""),                           # empty doc
+             (5, "  shared para  \n\nend5")],   # whitespace-variant dup
+            "doc_id long, text string")
+        out = dedup_paragraphs(docs)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_first_occurrence_kept_verbatim(self, deduped):
+        assert deduped[0]["text_dedup"] == "alpha\n\nshared para\n\nbeta0"
+        assert deduped[0]["n_paras"] == 3
+        assert deduped[0]["n_dropped"] == 0
+
+    def test_cross_doc_duplicate_dropped(self, deduped):
+        assert deduped[1]["text_dedup"] == "gamma1"
+        assert deduped[1]["n_dropped"] == 1
+
+    def test_intra_doc_duplicate_dropped(self, deduped):
+        assert deduped[2]["text_dedup"] == "delta2"
+        assert deduped[2]["n_paras"] == 2
+        assert deduped[2]["n_dropped"] == 1
+
+    def test_blank_paragraphs_survive_in_place(self, deduped):
+        assert deduped[3]["text_dedup"] == "a\n\n\n\nb"
+        assert deduped[3]["n_paras"] == 3
+        assert deduped[3]["n_dropped"] == 0
+
+    def test_empty_doc_roundtrips(self, deduped):
+        assert deduped[4]["text_dedup"] == ""
+        assert deduped[4]["n_paras"] == 1
+        assert deduped[4]["n_dropped"] == 0
+
+    def test_whitespace_variant_matches_trimmed_key(self, deduped):
+        # "  shared para  " trims to the doc-0 winner; dropped, and the
+        # keep decision never rewrites surviving text
+        assert deduped[5]["text_dedup"] == "end5"
+        assert deduped[5]["n_dropped"] == 1
+
+
 class TestRepetitionStagedAPI:
     def test_staged_agrees_with_column_dict(self, spark):
         from dxnn_ocr_cpp_spark.operators.curation import (
