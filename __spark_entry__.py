@@ -1393,6 +1393,32 @@ _PD_PROMO = ("Subscribe to our newsletter for weekly updates and "
              "exclusive offers.")
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduler (operators/urls.py, crawl_schedule):
+    rank each host's frontier by (priority DESC, url ASC) and assign
+    fetch offsets of rank * per-host crawl-delay, capped at 40
+    scheduled fetches per host per cycle. Frontier is planted from
+    doc_id arithmetic (7 hosts, priority = doc_id % 13); even-index
+    hosts get an explicit delay of 200*(k+1) ms, odd hosts fall back
+    to the 1000 ms default — the DuckDB twin replays the ranking, the
+    delay join, the offset arithmetic, and the cycle cap."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import crawl_schedule
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = d.select(
+        F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                 F.lit(".example.org/p"), i.cast("string")).alias("url"),
+        (i % 13).cast("long").alias("prio"))
+    k = F.col("id")
+    delays = (spark.range(7).filter(k % 2 == 0)
+              .select(F.concat(F.lit("h"), k.cast("string"),
+                               F.lit(".example.org")).alias("host"),
+                      (200 * (k + 1)).cast("long").alias("delay_ms")))
+    return crawl_schedule(frontier, delays, priority_col="prio",
+                          default_delay_ms=1000, max_per_host=40)
+
+
 # duplicated-span injection shared by q_duplicate_spans/q_span_dedup
 # and their oracles: a >100-char boilerplate block spliced into every
 # doc_id%3==0 doc at a doc-dependent offset (doc_id%37), so the spans
@@ -2237,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    by test_oracle_parity.py, same compare as the driver) --
         "incremental_refresh": q_incremental_refresh,
         "paragraph_dedup": q_paragraph_dedup,
+        "crawl_schedule": q_crawl_schedule,
         "media_decode": q_media_decode,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
@@ -3210,6 +3237,31 @@ ORACLES["line_dedup"] = """
              AS clean_fp
     FROM totals t LEFT JOIN kept k USING (doc_id)
     GROUP BY t.doc_id, t.n_lines
+"""
+
+ORACLES["crawl_schedule"] = """
+    WITH frontier AS (
+      SELECT 'https://h' || (doc_id % 7) || '.example.org/p' || doc_id
+               AS url,
+             'h' || (doc_id % 7) || '.example.org' AS host,
+             CAST(doc_id % 13 AS BIGINT) AS prio
+      FROM documents),
+    delays AS (
+      SELECT 'h' || i || '.example.org' AS host,
+             CAST(200 * (i + 1) AS BIGINT) AS delay_ms
+      FROM range(7) t(i) WHERE i % 2 = 0),
+    ranked AS (
+      SELECT url, host,
+             CAST(row_number() OVER (PARTITION BY host
+                                     ORDER BY prio DESC, url) - 1
+                  AS BIGINT) AS "rank"
+      FROM frontier)
+    SELECT r.url, r.host, r."rank",
+           coalesce(d.delay_ms, 1000) AS delay_ms,
+           CAST(r."rank" * coalesce(d.delay_ms, 1000) AS BIGINT)
+             AS fetch_offset_ms,
+           r."rank" < 40 AS scheduled
+    FROM ranked r LEFT JOIN delays d USING (host)
 """
 
 ORACLES["paragraph_dedup"] = f"""

@@ -174,6 +174,9 @@ HEADLINE = [
     "fuzzy_dedup_keeplist",
     "incremental_dedup",
     "corpus_stats",
+    "paragraph_dedup",
+    "incremental_refresh",
+    "crawl_schedule",
 ]
 
 

@@ -278,3 +278,67 @@ def parse_robots(df: DataFrame, txt_col: str = "robots_txt",
     return (df.select(F.col(host_col).alias("host"),
                       F.explode(rules).alias("r"))
             .select("host", "r.agent", "r.allow", "r.prefix"))
+
+
+# ---------- crawl politeness scheduler ----------
+
+def crawl_schedule(frontier: DataFrame, delays: DataFrame = None,
+                   url_col: str = "url",
+                   priority_col: str = None,
+                   default_delay_ms: int = 1000,
+                   max_per_host: int = None) -> DataFrame:
+    """Politeness scheduler for a crawl cycle: rank each host's
+    frontier (priority DESC, url ASC — deterministic and
+    partitioning-independent) and assign every URL a fetch offset of
+    rank * per-host delay, so a fetcher draining the schedule in
+    offset order never hits one host faster than its crawl-delay.
+
+    delays: optional (host, delay_ms) table — e.g. robots.txt
+    Crawl-delay via parse_robots — LEFT-joined per host (broadcast;
+    the delay table is one row per host, MBs at worst), falling back
+    to default_delay_ms. max_per_host caps how many URLs per host are
+    marked scheduled this cycle (the rest stay ranked, so the next
+    cycle's frontier can resume exactly where this one stopped).
+
+    Scale shape (10^10-url frontiers): ONE exchange — the window
+    partitions by host; within a partition ranking is an external
+    sort, so a hot host spills rather than OOMs. If cycles are capped,
+    pre-trim the frontier to ~max_per_host candidates per host with a
+    cheap approximate filter BEFORE this operator when one host
+    dominates the frontier (the cap is applied after exact ranking
+    here, which is the correct-but-full-sort path).
+
+    Returns (url, host, rank, delay_ms, fetch_offset_ms, scheduled).
+
+    Reference analog: the per-device request queue pacing in
+    /root/reference/src/scheduler.cc (one in-flight batch per NPU,
+    FIFO within a device) lifted to per-host crawl pacing.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    host = authority_host(F.col(url_col)).alias("host")
+    base = frontier.select(F.col(url_col).alias("url"), host,
+                           *([F.col(priority_col).alias("_prio")]
+                             if priority_col else []))
+    order = ([F.col("_prio").desc()] if priority_col else []) \
+        + [F.col("url").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    ranked = base.withColumn(
+        "rank", (F.row_number().over(w) - 1).cast("long"))
+    if delays is not None:
+        d = delays.select(F.col("host").alias("_dh"),
+                          F.col("delay_ms").alias("_dms"))
+        ranked = (ranked.join(broadcast(d),
+                              ranked["host"] == d["_dh"], "left")
+                  .drop("_dh"))
+        delay = F.coalesce(F.col("_dms"),
+                           F.lit(int(default_delay_ms))).cast("long")
+    else:
+        delay = F.lit(int(default_delay_ms)).cast("long")
+    out = ranked.select(
+        "url", "host", "rank", delay.alias("delay_ms"),
+        (F.col("rank") * delay).cast("long").alias("fetch_offset_ms"),
+        (F.lit(True) if max_per_host is None
+         else (F.col("rank") < int(max_per_host))).alias("scheduled"))
+    return out

@@ -301,3 +301,65 @@ class TestParseRobotsFuzz:
         for i, d in enumerate(docs):
             assert got.get(f"h{i}", []) == _ref_parse_robots(d), (
                 f"doc {i}: {d!r}")
+
+
+class TestCrawlSchedule:
+    @pytest.fixture(scope="class")
+    def sched(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_schedule
+        frontier = spark.createDataFrame(
+            [("https://a.org/p1", 5), ("https://a.org/p2", 9),
+             ("https://a.org/p3", 9), ("https://b.org/x", 1),
+             ("https://b.org/y", 2), ("https://c.org/only", 0)],
+            "url string, prio long")
+        delays = spark.createDataFrame(
+            [("a.org", 2000), ("c.org", 100)],
+            "host string, delay_ms long")
+        out = crawl_schedule(frontier, delays, priority_col="prio",
+                             default_delay_ms=500, max_per_host=2)
+        return {r["url"]: r for r in out.collect()}
+
+    def test_priority_desc_url_asc_rank(self, sched):
+        # a.org: p2 (9) < p3 (9, url tiebreak) < p1 (5)
+        assert sched["https://a.org/p2"]["rank"] == 0
+        assert sched["https://a.org/p3"]["rank"] == 1
+        assert sched["https://a.org/p1"]["rank"] == 2
+
+    def test_offsets_use_per_host_delay(self, sched):
+        assert sched["https://a.org/p3"]["fetch_offset_ms"] == 2000
+        assert sched["https://a.org/p1"]["fetch_offset_ms"] == 4000
+        # b.org falls back to the default delay; y outranks x (prio 2>1)
+        assert sched["https://b.org/x"]["delay_ms"] == 500
+        assert sched["https://b.org/y"]["fetch_offset_ms"] == 0
+        assert sched["https://b.org/x"]["fetch_offset_ms"] == 500
+
+    def test_cycle_cap_marks_overflow_unscheduled(self, sched):
+        assert sched["https://a.org/p2"]["scheduled"]
+        assert sched["https://a.org/p3"]["scheduled"]
+        assert not sched["https://a.org/p1"]["scheduled"]
+        assert sched["https://c.org/only"]["scheduled"]
+
+    def test_no_priority_no_delays_defaults(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_schedule
+        frontier = spark.createDataFrame(
+            [("https://z.org/b",), ("https://z.org/a",)],
+            "url string")
+        got = {r["url"]: r for r in
+               crawl_schedule(frontier, default_delay_ms=250).collect()}
+        assert got["https://z.org/a"]["rank"] == 0
+        assert got["https://z.org/b"]["fetch_offset_ms"] == 250
+        assert all(r["scheduled"] for r in got.values())
+
+    def test_one_exchange_and_broadcast_delays(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_schedule
+        frontier = spark.createDataFrame(
+            [("https://a.org/%d" % i, i % 3) for i in range(30)],
+            "url string, prio long")
+        delays = spark.createDataFrame([("a.org", 100)],
+                                       "host string, delay_ms long")
+        out = crawl_schedule(frontier, delays, priority_col="prio")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_ex <= 1, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
+            not in plan
