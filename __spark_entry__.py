@@ -2187,6 +2187,56 @@ def q_corpus_stats(spark, sf_dir):
             .orderBy("gid", "lang", "source"))
 
 
+PHRASE_QUERIES = ["table table", "big data", "slow query"]
+BM25_TERMS = ["dup", "spark", "scan"]   # df 25/385/398 of 500 — spread idf
+BM25_K = 20
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/search.py): for each query
+    phrase, the docs where it occurs as consecutive tokens plus the
+    overlap-aware start count. One postings build (posexplode + one
+    partial-agg exchange) shared across phrases; per-phrase matching is
+    a pushed-down token IN-filter + per-doc fan-in + pure higher-order
+    array predicate (exists p: pos_i contains p+i) — zero Python. The
+    DuckDB twin recomputes starts from the raw token list with a
+    list_filter lambda, so the index+probe path is certified against a
+    direct positional scan. 'table table' pins the repeated-token slot
+    case; overlap counting is pinned in tests/test_search.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.search import (build_postings,
+                                                     phrase_match)
+    d = _t(spark, sf_dir, "documents")
+    p = build_postings(d)
+    out = None
+    for ph in PHRASE_QUERIES:
+        m = (phrase_match(p, ph.split())
+             .select(F.lit(ph).alias("phrase"),
+                     F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("n_starts")))
+        out = m if out is None else out.unionAll(m)
+    return out.orderBy("phrase", "doc_id")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-k retrieval (operators/search.py, Okapi k1=1.2 b=0.75)
+    for a fixed disjunctive term set with spread document frequencies.
+    Integer micro-nat discipline: ln is the only transcendental,
+    quantized per term immediately; the tf-normalization fraction is
+    correctly-rounded IEEE rational arithmetic; per-term scores are
+    BIGINT before the per-doc sum, so the DuckDB twin replays the
+    score bit-for-bit. Top-k is TakeOrderedAndProject (distributed
+    partial top-k), never a global single-partition window — pinned in
+    tests/test_search.py."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.search import bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    return (bm25_topk(d.select("doc_id", "text"), BM25_TERMS, k=BM25_K)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "score_micro", "n_terms_hit", "rank")
+            .orderBy("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's correctness window.
 
@@ -2226,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "html_tables": q_html_tables,
         "tfidf_keywords": q_tfidf_keywords,
+        "phrase_search": q_phrase_search,
+        "bm25_rank": q_bm25_rank,
         "link_graph": q_link_graph,
         "anchor_texts": q_anchor_texts,
         "dataset_mix": q_dataset_mix,
@@ -2240,8 +2292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_blocklist": q_url_blocklist,
         "recrawl_latest": q_recrawl_latest,
-        "sitemap_harvest": q_sitemap_harvest,
-        "rss_harvest": q_rss_harvest,
         "pii_redact": q_pii_redact,
         "repetition_filters": q_repetition_filters,
         "decontaminate": q_decontaminate,
@@ -2261,6 +2311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (first 50) ends here ----
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
+        "sitemap_harvest": q_sitemap_harvest,
+        "rss_harvest": q_rss_harvest,
         "incremental_refresh": q_incremental_refresh,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_schedule": q_crawl_schedule,
@@ -4437,6 +4489,96 @@ ORACLES["dsir_select"] = """
     WHERE d.doc_id % 7 <> 0
     ORDER BY logw_micro DESC, d.doc_id LIMIT 40
 """
+
+
+def _phrase_oracle() -> str:
+    """Twin of q_phrase_search that never builds the inverted index:
+    DuckDB recomputes start counts directly from the token list with a
+    list_filter lambda (p is a start iff w[p+i] = phrase[i] for all i,
+    1-indexed lists), so the postings-build + slot-probe path is
+    certified against a straight positional scan. Phrases come from
+    the same PHRASE_QUERIES constant the Spark query uses."""
+    arms = []
+    for ph in PHRASE_QUERIES:
+        ts = ph.split()
+        cond = " AND ".join(
+            f"w[p + {i}] = '{t}'" for i, t in enumerate(ts))
+        arms.append(f"""
+      SELECT '{ph}' AS phrase, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(list_filter(range(1, len(w) - {len(ts)} + 2),
+                                  p -> {cond})) AS BIGINT) AS n_starts
+      FROM tok""")
+    body = "\n      UNION ALL".join(arms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents WHERE trim(text) <> ''),
+    m AS ({body})
+    SELECT phrase, doc_id, n_starts FROM m
+    WHERE n_starts > 0 ORDER BY phrase, doc_id
+"""
+
+
+def _bm25_oracle() -> str:
+    """Full twin of q_bm25_rank: replays Okapi BM25 with the IDENTICAL
+    constants from operators/search.py and the same integer micro-nat
+    quantization points (ln -> idf_micro per term, then per-term score
+    re-quantized to BIGINT before the per-doc sum). N counts ALL docs
+    (matching df.count() on the unfiltered table); avgdl is the exact
+    integer-ratio division, bit-identical to the Spark literal."""
+    from dxnn_ocr_cpp_spark.operators.search import BM25_B, BM25_K1
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    return f"""
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents WHERE trim(text) <> ''),
+    dl AS (
+      SELECT d.doc_id,
+             CAST(coalesce(len(t.w), 0) AS BIGINT) AS dl
+      FROM documents d LEFT JOIN tok t USING (doc_id)),
+    avg AS (SELECT CAST(sum(dl) AS DOUBLE) / n.n AS avgdl
+            FROM dl CROSS JOIN n GROUP BY n.n),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS token FROM tok)
+      WHERE token IN ({terms}) GROUP BY doc_id, token),
+    hit AS (
+      SELECT doc_id, token, tf,
+             CAST(count(*) OVER (PARTITION BY token) AS BIGINT)
+               AS term_df
+      FROM tf),
+    sc AS (
+      SELECT h.doc_id,
+             CAST(round(ln((n.n - h.term_df + 0.5) / (h.term_df + 0.5)
+                           + 1.0) * 1000000) AS BIGINT) AS idf_micro,
+             CAST(h.tf AS DOUBLE) * {BM25_K1 + 1.0!r}
+               / (CAST(h.tf AS DOUBLE)
+                  + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                                   + {BM25_B!r}
+                                     * CAST(d.dl AS DOUBLE) / a.avgdl))
+               AS frac
+      FROM hit h JOIN dl d USING (doc_id)
+      CROSS JOIN n CROSS JOIN avg a),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(idf_micro * frac) AS BIGINT))
+                  AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM sc GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, score_micro, n_terms_hit,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM per_doc ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+ORACLES["phrase_search"] = _phrase_oracle()
+ORACLES["bm25_rank"] = _bm25_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
