@@ -1327,6 +1327,32 @@ def q_extract_corpus(spark, sf_dir):
                     F.md5(F.encode("text", "UTF-8")).alias("text_md5")))
 
 
+def q_extract_markdown(spark, sf_dir):
+    """Markdown emission mode (operators/emit.py with_markdown) — the
+    same kept/ordered spans as extract_corpus rendered with structure
+    from each block's context tag (#/##… headings, '- ' list items,
+    '> ' quotes, ``` fences), blocks joined by a blank line. Input is
+    the seeded 200-doc corpus, so the DuckDB oracle reads a frozen
+    expected parquet (tests/golden/extract_markdown_expected.parquet,
+    regenerated by tools/freeze_extract_expected.py). md_md5 pins the
+    rendering byte-exactly; n_headings/n_list_items pin that the
+    output HAS structure (a fixture of plain concatenated text would
+    fail those columns, not just the hash)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    paras = F.split("markdown", "\n\n")
+    return (extract(docs, markdown=True)
+            .select("url",
+                    F.length("markdown").cast("long").alias("md_len"),
+                    F.md5(F.encode("markdown", "UTF-8")).alias("md_md5"),
+                    F.size(F.filter(paras, lambda p: p.rlike("^#{1,6} ")))
+                     .cast("long").alias("n_headings"),
+                    F.size(F.filter(paras, lambda p: p.startswith("- ")))
+                     .cast("long").alias("n_list_items")))
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level boilerplate dedup (operators/curation.py,
     remove_boilerplate_lines) — the CCNet/RefinedWeb line-wise dedup
@@ -2257,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- tier 1: composed pipelines (the engine's headline work) --
         "extract_corpus": q_extract_corpus,
+        "extract_markdown": q_extract_markdown,
         "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
         "incremental_dedup": q_incremental_dedup,
         "frontier_build": q_frontier_build,
@@ -2283,7 +2310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "robots_gate": q_robots_gate,
         "robots_parse": q_robots_parse,
-        "corpus_stats": q_corpus_stats,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
         "span_dedup": q_span_dedup,
@@ -2311,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (first 50) ends here ----
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
+        "corpus_stats": q_corpus_stats,
         "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
         "incremental_refresh": q_incremental_refresh,
@@ -3513,6 +3540,13 @@ ORACLES["chunk_documents"] = """
 ORACLES["extract_corpus"] = """
     SELECT url, n_spans, n_candidates, charset, text_len, text_md5
     FROM read_parquet('/root/repo/tests/golden/extract_corpus_expected.parquet')
+"""
+
+# Markdown rendering twin — same frozen-fixture discipline; staleness
+# caught first by tests/test_markdown.py::test_markdown_fixture_fresh.
+ORACLES["extract_markdown"] = """
+    SELECT url, md_len, md_md5, n_headings, n_list_items
+    FROM read_parquet('/root/repo/tests/golden/extract_markdown_expected.parquet')
 """
 
 # Unigram-LM quality twin: replays the dedup-family tokenization, the

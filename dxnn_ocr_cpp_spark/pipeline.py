@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from dxnn_ocr_cpp_spark.config import (DEFAULT_CONFIG, TASK_CONFIG_COL,
                                        ExtractionConfig)
-from dxnn_ocr_cpp_spark.operators.emit import with_final_text, with_spans
+from dxnn_ocr_cpp_spark.operators.emit import (with_final_text,
+                                               with_markdown, with_spans)
 from dxnn_ocr_cpp_spark.operators.score import with_scored_blocks
 from dxnn_ocr_cpp_spark.operators.segment import with_blocks
 from dxnn_ocr_cpp_spark.partitioning import salted_repartition
@@ -34,9 +35,16 @@ def extract(documents: DataFrame,
             cfg: ExtractionConfig = DEFAULT_CONFIG,
             repartition_to: int | None = None,
             size_route: bool = False,
-            keep_intermediate: bool = False) -> DataFrame:
+            keep_intermediate: bool = False,
+            markdown: bool = False) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> extracted
-    (url, text, n_spans, n_candidates, charset [, seg, scored, spans]).
+    (url, text, n_spans, n_candidates, charset [, markdown]
+     [, seg, scored, spans]).
+
+    markdown=True additionally emits a `markdown` column — the same
+    kept/ordered spans rendered with structure derived from each
+    block's context tag (emit.with_markdown; headings/lists/quotes/
+    fences). Same plan shape: zero shuffle, one Python hop.
 
     Output is a pure per-row function of (url, html, cfg): byte-identical
     under any partitioning/parallelism (the north-rule invariant).
@@ -78,6 +86,9 @@ def extract(documents: DataFrame,
     df = with_spans(df, cfg,                   # stage 3
                     task_col=TASK_CONFIG_COL if has_task else None)
     df = with_final_text(df, cfg)              # finalize
+    if markdown:
+        df = with_markdown(df, cfg,
+                           task_col=TASK_CONFIG_COL if has_task else None)
     cols = [
         F.col("url"),
         F.col("text"),
@@ -85,6 +96,8 @@ def extract(documents: DataFrame,
         F.col("seg.n_candidates").alias("n_candidates"),
         F.col("seg.charset").alias("charset"),
     ]
+    if markdown:
+        cols.append(F.col("markdown"))
     if keep_intermediate:
         cols += [F.col("seg"), F.col("scored"), F.col("spans")]
     return df.select(*cols)
@@ -145,11 +158,15 @@ def extract_python(url: str, html: bytes | None,
                 and score >= thresh("rec_score_thresh")
                 and b["n_text_chars"] >= thresh("min_text_chars")
                 and ld <= thresh("max_link_density") and b["text"]):
-            spans.append((b["pos"], b["depth"], b["block_id"], b["text"], score))
+            spans.append((b["pos"], b["depth"], b["block_id"], b["text"],
+                          score, b["tag"]))
     spans.sort()
+    from dxnn_ocr_cpp_spark.operators.emit import markdown_block_py
     return {
         "url": url,
         "text": cfg.span_separator.join(s[3] for s in spans),
+        "markdown": "\n\n".join(markdown_block_py(s[5], s[3])
+                                for s in spans),
         "n_spans": len(spans),
         "n_candidates": seg["n_candidates"],
         "charset": seg["charset"],

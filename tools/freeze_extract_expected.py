@@ -1,12 +1,15 @@
-"""Freeze the extract_corpus driver-query expected output.
+"""Freeze the extract_corpus + extract_markdown expected outputs.
 
-Runs q_extract_corpus at local[1] (single task, no parallelism) and
-writes tests/golden/extract_corpus_expected.parquet as ONE pyarrow
-file with explicit types (url/charset/text_md5 string, counters
-int64) so the DuckDB oracle `SELECT .. FROM read_parquet(..)` returns
-a schema identical to the Spark query's. Regenerate whenever
-extraction semantics change — tests/test_golden.py::
-test_extract_corpus_fixture_fresh fails on staleness first.
+Runs q_extract_corpus and q_extract_markdown at local[1] (single
+task, no parallelism) and writes
+tests/golden/extract_corpus_expected.parquet and
+tests/golden/extract_markdown_expected.parquet as ONE pyarrow file
+each with explicit types so the DuckDB oracles
+`SELECT .. FROM read_parquet(..)` return schemas identical to the
+Spark queries'. Regenerate whenever extraction/rendering semantics
+change — tests/test_golden.py::test_extract_corpus_fixture_fresh and
+tests/test_markdown.py::test_markdown_fixture_fresh fail on
+staleness first.
 
 Usage: python tools/freeze_extract_expected.py
 """
@@ -22,6 +25,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 EXPECTED = (pathlib.Path(__file__).resolve().parent.parent
             / "tests" / "golden" / "extract_corpus_expected.parquet")
 
+MD_EXPECTED = EXPECTED.parent / "extract_markdown_expected.parquet"
+
 SCHEMA = pa.schema([("url", pa.string()),
                     ("n_spans", pa.int64()),
                     ("n_candidates", pa.int64()),
@@ -29,20 +34,28 @@ SCHEMA = pa.schema([("url", pa.string()),
                     ("text_len", pa.int64()),
                     ("text_md5", pa.string())])
 
+MD_SCHEMA = pa.schema([("url", pa.string()),
+                       ("md_len", pa.int64()),
+                       ("md_md5", pa.string()),
+                       ("n_headings", pa.int64()),
+                       ("n_list_items", pa.int64())])
+
 
 def freeze() -> None:
-    from __spark_entry__ import q_extract_corpus
+    from __spark_entry__ import q_extract_corpus, q_extract_markdown
     from dxnn_ocr_cpp_spark.session import build_session
     spark = build_session(app="freeze-extract-expected", master="local[1]",
                           shuffle_partitions=1)
     try:
-        rows = sorted(q_extract_corpus(spark, "").collect(),
-                      key=lambda r: r["url"])
-        tbl = pa.Table.from_pylist([r.asDict() for r in rows],
-                                   schema=SCHEMA)
         EXPECTED.parent.mkdir(parents=True, exist_ok=True)
-        pq.write_table(tbl, EXPECTED)
-        print(f"froze {tbl.num_rows} rows -> {EXPECTED}")
+        for q, schema, path in ((q_extract_corpus, SCHEMA, EXPECTED),
+                                (q_extract_markdown, MD_SCHEMA,
+                                 MD_EXPECTED)):
+            rows = sorted(q(spark, "").collect(), key=lambda r: r["url"])
+            tbl = pa.Table.from_pylist([r.asDict() for r in rows],
+                                       schema=schema)
+            pq.write_table(tbl, path)
+            print(f"froze {tbl.num_rows} rows -> {path}")
     finally:
         spark.stop()
 
