@@ -1382,6 +1382,37 @@ def q_line_dedup(spark, sf_dir):
                     F.md5("text_clean").alias("clean_fp")))
 
 
+def q_host_template_lines(spark, sf_dir):
+    """Host-scoped template removal (operators/curation.py,
+    remove_host_template_lines) — the per-site companion of line_dedup:
+    a line is template when its document frequency WITHIN ITS HOST
+    reaches half the host's pages (frac mode, min_frac=0.5). Injection
+    plants host = h(doc_id%7), a per-host navigation line on every
+    page (within-host df 1.0 -> dropped) and a per-host trending line
+    on doc_id%3==0 (within-host df ~1/3 -> kept), around the unique
+    body; the DuckDB twin replays injection, the per-host page count,
+    the (host, line) df gate, and ordered reassembly. clean_fp pins
+    byte-exact reassembly through the driver's hash compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import \
+        remove_host_template_lines
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 7).cast("string"),
+                    F.lit(".example.org"))
+    text2 = F.concat(
+        F.lit("Navigation for "), host, F.lit("\n"),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("Trending on "), host, F.lit("\n")))
+         .otherwise(F.lit("")),
+        F.col("text"))
+    inj = d.select("doc_id", host.alias("host"), text2.alias("text2"))
+    return (remove_host_template_lines(inj, text_col="text2",
+                                       min_frac=0.5)
+            .select("doc_id", "host", "n_lines", "n_dropped",
+                    F.md5("text_clean").alias("clean_fp")))
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup, first occurrence wins
     (operators/curation.py, dedup_paragraphs) — the CCNet/C4 companion
@@ -2338,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
         "corpus_stats": q_corpus_stats,
+        "host_template_lines": q_host_template_lines,
         "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
         "incremental_refresh": q_incremental_refresh,
@@ -3316,6 +3348,53 @@ ORACLES["line_dedup"] = """
              AS clean_fp
     FROM totals t LEFT JOIN kept k USING (doc_id)
     GROUP BY t.doc_id, t.n_lines
+"""
+
+# Host-scoped template gate twin: replays injection, per-host page
+# counts, the (host, line) document-frequency fraction gate, and
+# ordered reassembly. 0.5 * hp is exact in binary floating point, so
+# the frac compare cannot drift between engines.
+ORACLES["host_template_lines"] = """
+    WITH inj AS (
+      SELECT doc_id,
+             'h' || (doc_id % 7) || '.example.org' AS host,
+             'Navigation for h' || (doc_id % 7) || '.example.org'
+             || chr(10)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN 'Trending on h' || (doc_id % 7)
+                           || '.example.org' || chr(10)
+                      ELSE '' END)
+             || text AS text2
+      FROM documents),
+    splits AS (SELECT doc_id, host, string_split(text2, chr(10)) AS l
+               FROM inj),
+    lines AS (
+      SELECT doc_id, host,
+             unnest([{'pos': CAST(i - 1 AS BIGINT), 'line': l[i]}
+                     for i in range(1, len(l) + 1)], recursive := true)
+      FROM splits),
+    host_pages AS (SELECT host, count(DISTINCT doc_id) AS hp
+                   FROM inj GROUP BY host),
+    dfreq AS (
+      SELECT host, md5(trim(line)) AS lkey,
+             count(DISTINCT doc_id) AS line_df
+      FROM lines WHERE trim(line) <> '' GROUP BY 1, 2),
+    template AS (
+      SELECT d.host, d.lkey FROM dfreq d JOIN host_pages h USING (host)
+      WHERE d.line_df >= GREATEST(2.0, 0.5 * h.hp)),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN template t
+        ON l.host = t.host AND md5(trim(l.line)) = t.lkey
+      WHERE t.lkey IS NULL),
+    totals AS (SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_lines
+               FROM lines GROUP BY doc_id, host)
+    SELECT t.doc_id, t.host, t.n_lines,
+           CAST(t.n_lines - count(k.line) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), ''))
+             AS clean_fp
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.host, t.n_lines
 """
 
 ORACLES["crawl_schedule"] = """

@@ -554,6 +554,101 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                      ).cast("long").alias("n_dropped")))
 
 
+def remove_host_template_lines(df: DataFrame, id_col: str = "doc_id",
+                               host_col: str = "host",
+                               text_col: str = "text",
+                               min_df: int | None = None,
+                               min_frac: float | None = 0.5,
+                               df_floor: int = 2) -> DataFrame:
+    """Host-scoped template removal: drop lines that repeat across
+    many pages OF THE SAME HOST (site navigation, per-site footers,
+    category sidebars) and reassemble each page from its surviving
+    lines in order. The host-scoped companion of
+    remove_boilerplate_lines — corpus-wide frequency catches global
+    boilerplate ("Accept cookies"), but a site template repeated on
+    every page of one blog never crosses a corpus-wide threshold at
+    web scale, while within its host its document frequency is ~1.0.
+    This is the CCNet/trafilatura "site template" gate.
+
+    A line is template when, within its host, its document frequency
+    (distinct pages containing the trimmed line) >= min_df, or — frac
+    mode, the default — df >= max(df_floor, min_frac * host_pages).
+    Exactly one of min_df/min_frac must be set. The df_floor guard
+    matters on tiny hosts: without it a 2-page host at min_frac=0.5
+    would classify every SINGLETON line (df=1 >= 0.5*2) as template
+    and erase the pages — a line seen on one page is never a
+    template. Blank lines are never counted and are always kept in
+    place.
+
+    Scale shape (10^12 docs):
+      host pages         ONE groupBy on host (partial agg; output is
+                         one row per host — the hosts table, tiny
+                         relative to pages)
+      explode lines      narrow (posexplode, no shuffle)
+      df count           ONE groupBy on (host, md5(line)) with partial
+                         aggregation. No df cap needed here, unlike
+                         the corpus-wide gate: per-host df is bounded
+                         by the host's own page count, so no single
+                         key can reach corpus scale
+      classify           shuffle join lines ⋈ template table on
+                         (host, lkey) — both sides hash-partition on
+                         the same key. Hot hosts skew this join; AQE
+                         skew-join splits them (the key carries the
+                         host, so salting upstream also composes)
+      reassemble         ONE groupBy on page id: array_sort +
+                         array_join
+    Never O(n²); every aggregation is partial.
+
+    Returns (id_col, host_col, text_clean, n_lines, n_dropped).
+
+    Reference analog: the per-request text post-filters
+    (/root/reference/server/ocr_handler.cpp:96-124) generalized to a
+    per-site statistical gate.
+    """
+    if (min_df is None) == (min_frac is None):
+        raise ValueError("set exactly one of min_df / min_frac")
+    base = df.select(F.col(id_col), F.col(host_col), F.col(text_col))
+    lines = base.select(
+        F.col(id_col), F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("lkey", F.md5(F.trim(F.col("line"))))
+    nonblank = keyed.filter(F.trim(F.col("line")) != "")
+    dfreq = (nonblank.groupBy(host_col, "lkey")
+             .agg(F.count_distinct(F.col(id_col)).cast("long")
+                  .alias("line_df")))
+    if min_df is not None:
+        template = dfreq.filter(F.col("line_df") >= F.lit(int(min_df)))
+    else:
+        host_pages = (base.groupBy(host_col)
+                      .agg(F.count_distinct(F.col(id_col)).cast("long")
+                           .alias("host_pages")))
+        template = (dfreq.join(host_pages, host_col)
+                    .filter(F.col("line_df")
+                            >= F.greatest(
+                                F.lit(float(df_floor)),
+                                F.lit(float(min_frac))
+                                * F.col("host_pages"))))
+    classified = keyed.join(template.select(host_col, "lkey"),
+                            [host_col, "lkey"], "left_anti")
+    survivors = (classified
+                 .groupBy(id_col)
+                 .agg(F.array_sort(F.collect_list(
+                          F.struct("pos", "line"))).alias("kept"),
+                      F.count(F.lit(1)).cast("long").alias("n_kept")))
+    totals = (lines.groupBy(id_col, host_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return (totals.join(survivors, id_col, "left")
+            .select(F.col(id_col), F.col(host_col),
+                    F.coalesce(
+                        F.array_join(F.transform(
+                            "kept", lambda s: s["line"]), "\n"),
+                        F.lit("")).alias("text_clean"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("n_kept"),
+                                                   F.lit(0))
+                     ).cast("long").alias("n_dropped")))
+
+
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Corpus-wide paragraph dedup, first occurrence wins: every
