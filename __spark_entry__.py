@@ -740,6 +740,25 @@ def q_media_decode(spark, sf_dir):
     return decode_media(synthesize_media(d.select("doc_id")))
 
 
+def q_image_dhash_pairs(spark, sf_dir):
+    """Perceptual image dedup certification (operators/multimodal.py
+    dhash64_arr / image_dhash_pairs): synthesize patterned 16x12 PPMs
+    where doc_id %% 25 picks the pattern (same group -> byte-identical
+    image -> hamming 0; distinct groups measured >= 8 bits apart, so a
+    radius-2 search returns EXACTLY the same-group pairs), find pairs
+    with the shared pigeonhole hamming join, max_hamming=2. Every 37th
+    doc is truncated (planted decode failures -> excluded from
+    pairing). The DuckDB oracle replays group + corruption arithmetic
+    without touching bytes or hashes — the media_decode discipline
+    applied to the dedup family."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.multimodal import (
+        image_dhash_pairs, synthesize_patterned_images)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_patterned_images(d)
+    return image_dhash_pairs(media, max_hamming=2)
+
+
 def q_sitemap_harvest(spark, sf_dir):
     """Crawl-frontier harvesting (operators/feeds.py sitemap_entries):
     build sitemaps.org XML from doc_id arithmetic IN CATALYST (urlset
@@ -2376,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_schedule": q_crawl_schedule,
         "media_decode": q_media_decode,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -3348,6 +3368,21 @@ ORACLES["line_dedup"] = """
              AS clean_fp
     FROM totals t LEFT JOIN kept k USING (doc_id)
     GROUP BY t.doc_id, t.n_lines
+"""
+
+# dHash image-dedup twin: replays the planted group + corruption
+# arithmetic of synthesize_patterned_images without touching bytes or
+# hashes. Same-group images are byte-identical (hamming 0) and groups
+# are measured >= 8 bits apart (pinned in tests/test_image_dhash.py),
+# so a radius-2 search must return EXACTLY the same-group pairs over
+# the non-corrupt rows.
+ORACLES["image_dhash_pairs"] = """
+    WITH ok AS (
+      SELECT doc_id, doc_id % 25 AS grp
+      FROM documents
+      WHERE doc_id < 200 AND doc_id % 37 <> 0)
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+    FROM ok a JOIN ok b ON a.grp = b.grp AND a.doc_id < b.doc_id
 """
 
 # Host-scoped template gate twin: replays injection, per-host page

@@ -632,16 +632,27 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     a fixed 4-piece split would silently miss d>3 pairs differing in
     all four pieces). d is capped at 7: narrower than 8-bit pieces
     bucket half the corpus together and the join degenerates."""
-    if not 0 <= max_hamming <= 7:
-        raise ValueError("max_hamming must be in [0, 7] "
-                         "(pieces = d+1 at >=8 bits each)")
-    n_pieces = max_hamming + 1
-    width = 64 // n_pieces  # remainder bits ride in the last piece
     # signature kernel runs pre-exchange; parallelize small scans
     df = ensure_min_partitions(df)
     s = df.select(F.col(id_col).alias("id"),
                   simhash64(F.col(text_col),
                             hash_family=hash_family).alias("sim"))
+    return hamming_pairs(s, max_hamming)
+
+
+def hamming_pairs(sigs: DataFrame, max_hamming: int,
+                  id_col: str = "id", sig_col: str = "sim") -> DataFrame:
+    """(id, 64-bit signature) -> all pairs with hamming <= max_hamming,
+    via the pigeonhole join described in simhash_pairs. Shared by
+    SimHash text near-dup and the multimodal dHash image near-dup —
+    any 64-bit locality-preserving signature plugs in. Returns
+    (a, b, hamming) with a < b."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in [0, 7] "
+                         "(pieces = d+1 at >=8 bits each)")
+    n_pieces = max_hamming + 1
+    width = 64 // n_pieces  # remainder bits ride in the last piece
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
 
     def piece_val(p: int):
         bits = 64 - p * width if p == n_pieces - 1 else width

@@ -22,6 +22,7 @@ import struct
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -462,6 +463,111 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     return (df.select("media_id", "kind", "payload")
             .mapInPandas(run, schema=DECODE_SCHEMA))
+
+
+# ---------- perceptual image dedup (dHash) ----------
+
+DHASH_SCHEMA = "media_id long, dhash long, dhash_status string"
+
+
+def dhash64_arr(arr: np.ndarray) -> int:
+    """Classic difference hash: integer grayscale ((r+g+b)//3, exact —
+    no float luma weights that could drift), nearest-neighbor resample
+    to 9x8 with the same pixel-center kernel as resize_media, then one
+    bit per adjacent-column comparison (left > right), row-major MSB
+    first. 64 bits; near-duplicate images (rescaled, re-encoded,
+    slightly retouched) land within a small hamming radius — the
+    image-side analog of simhash64 over text."""
+    g = (arr[..., 0].astype(np.int64) + arr[..., 1] + arr[..., 2]) // 3
+    small = _nn_resize(g, 9, 8)
+    bits = (small[:, :-1] > small[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed long
+
+
+def with_dhash(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, dhash, dhash_status). One
+    mapInPandas hop, per-row fault containment (decode_media
+    discipline): a corrupt payload degrades that row to
+    dhash-error / needs-codec with a NULL hash, never the batch."""
+    def run(batches):
+        for pdf in batches:
+            ids, hashes, status = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    arr, _ = decode_image(payload)
+                    hashes.append(dhash64_arr(arr))
+                    status.append("hashed")
+                except NotImplementedError:
+                    hashes.append(None)
+                    status.append("needs-codec")
+                except (ValueError, struct.error, OverflowError):
+                    hashes.append(None)
+                    status.append("dhash-error")
+            # pd.array, NOT astype("Int64"): astype routes the object
+            # column through float64 and silently zeroes the low bits
+            # of 64-bit hashes (first caught as a partitioning-
+            # dependent pair set in tests)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "dhash": pd.array(hashes, dtype="Int64"),
+                "dhash_status": status,
+            })
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(run, schema=DHASH_SCHEMA))
+
+
+def image_dhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate image pairs: dHash signatures joined with the
+    SAME (d+1)-piece pigeonhole equi-join as text SimHash
+    (dedup.hamming_pairs — complete recall within the radius by
+    construction, never O(n^2)). Input (media_id, payload); returns
+    (a, b, hamming) with a < b. Rows that fail to decode are excluded
+    (NULL signatures can't be near anything)."""
+    from dxnn_ocr_cpp_spark.operators.dedup import hamming_pairs
+    sigs = with_dhash(df).filter(F.col("dhash").isNotNull())
+    return hamming_pairs(sigs, max_hamming,
+                         id_col="media_id", sig_col="dhash")
+
+
+def synthesize_patterned_images(docs: DataFrame, n_groups: int = 25,
+                                corrupt_every: int = 37) -> DataFrame:
+    """Deterministic patterned-image table for the dHash certification
+    query: doc_id % n_groups picks a 16x12 pattern whose pixels are a
+    pure integer function of (x, y, group), so images in the same
+    group are byte-identical (hamming 0) while distinct groups sit far
+    apart in hamming space (>=8 bits measured across 25 groups —
+    pinned by tests). Every corrupt_every-th doc truncates the payload
+    (planted per-row decode failures). A SQL oracle replays group
+    arithmetic without touching bytes."""
+    ng, ce = int(n_groups), int(corrupt_every)
+
+    def build(batches):
+        x = np.arange(16)[None, :]
+        y = np.arange(12)[:, None]
+        pats = {}
+        for g in range(ng):
+            val = ((((x + 17 * g) * 73856093)
+                    ^ ((y + 31 * g) * 19349663)) >> 8) & 0xFF
+            pats[g] = make_ppm(16, 12, np.repeat(
+                val.astype(np.uint8)[..., None], 3, axis=2))
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = pats[did % ng]
+                if ce and did % ce == 0:
+                    p = p[:10]
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary")
 
 
 def synthesize_media(docs: DataFrame, corrupt_every: int = 17) -> DataFrame:
