@@ -759,6 +759,22 @@ def q_image_dhash_pairs(spark, sf_dir):
     return image_dhash_pairs(media, max_hamming=2)
 
 
+def q_audio_fp_pairs(spark, sf_dir):
+    """Perceptual audio dedup certification (operators/multimodal.py
+    afp64_samples / audio_fp_pairs): synthesize patterned 65-window
+    PCM16 WAVs where doc_id %% 25 picks the amplitude pattern (same
+    group -> byte-identical clip -> hamming 0; groups measured >= 11
+    bits apart), pair via the shared pigeonhole hamming join at
+    radius 2; every 37th doc truncated (planted decode failures ->
+    excluded). DuckDB oracle replays group + corruption arithmetic
+    without touching bytes — image_dhash_pairs' twin for audio."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.multimodal import (
+        audio_fp_pairs, synthesize_patterned_audio)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_fp_pairs(synthesize_patterned_audio(d), max_hamming=2)
+
+
 def q_sitemap_harvest(spark, sf_dir):
     """Crawl-frontier harvesting (operators/feeds.py sitemap_entries):
     build sitemaps.org XML from doc_id arithmetic IN CATALYST (urlset
@@ -2396,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "media_decode": q_media_decode,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -3377,6 +3394,17 @@ ORACLES["line_dedup"] = """
 # so a radius-2 search must return EXACTLY the same-group pairs over
 # the non-corrupt rows.
 ORACLES["image_dhash_pairs"] = """
+    WITH ok AS (
+      SELECT doc_id, doc_id % 25 AS grp
+      FROM documents
+      WHERE doc_id < 200 AND doc_id % 37 <> 0)
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+    FROM ok a JOIN ok b ON a.grp = b.grp AND a.doc_id < b.doc_id
+"""
+
+# Audio-fingerprint twin: identical planted-arithmetic replay as
+# image_dhash_pairs (same groups, same corruption rule).
+ORACLES["audio_fp_pairs"] = """
     WITH ok AS (
       SELECT doc_id, doc_id % 25 AS grp
       FROM documents

@@ -570,6 +570,104 @@ def synthesize_patterned_images(docs: DataFrame, n_groups: int = 25,
         build, schema="media_id long, payload binary")
 
 
+# ---------- perceptual audio dedup (energy-delta fingerprint) ----------
+
+AFP_WINDOW = 64          # samples per energy window
+AFP_WINDOWS = 65         # windows -> 64 delta bits
+
+AFP_SCHEMA = "media_id long, afp long, afp_status string"
+
+
+def afp64_samples(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: mean-|amplitude| energy over 65
+    fixed 64-sample windows, one bit per adjacent-window comparison
+    (later > earlier), MSB first — a deterministic integer-only
+    chromaprint-style sketch. Robust to constant gain re-scaling
+    being monotone (comparisons survive any positive gain) — the
+    audio-side analog of dhash64_arr. Requires >= 65*64 samples."""
+    need = AFP_WINDOWS * AFP_WINDOW
+    if samples.size < need:
+        raise ValueError(f"afp64: need >= {need} samples, "
+                         f"got {samples.size}")
+    x = np.abs(samples[:need].astype(np.int64)) \
+        .reshape(AFP_WINDOWS, AFP_WINDOW).sum(axis=1)
+    v = 0
+    for b in (x[1:] > x[:-1]):
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def with_audio_fp(df: DataFrame) -> DataFrame:
+    """(media_id, payload WAV bytes) -> (media_id, afp, afp_status).
+    One mapInPandas hop, per-row fault containment; too-short clips
+    degrade to afp-error (a fingerprint of near-zero windows would
+    collide everything, so refusing is the honest behavior)."""
+    def run(batches):
+        for pdf in batches:
+            ids, fps, status = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    samples, _rate, _w = decode_wav(payload)
+                    fps.append(afp64_samples(samples))
+                    status.append("fingerprinted")
+                except (ValueError, struct.error, OverflowError):
+                    fps.append(None)
+                    status.append("afp-error")
+            yield pd.DataFrame({
+                "media_id": ids,
+                # pd.array: exact 64-bit ints (see with_dhash note)
+                "afp": pd.array(fps, dtype="Int64"),
+                "afp_status": status,
+            })
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(run, schema=AFP_SCHEMA))
+
+
+def audio_fp_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate audio pairs via the shared pigeonhole hamming
+    join (dedup.hamming_pairs) over afp64 signatures. Input
+    (media_id, payload); returns (a, b, hamming), a < b."""
+    from dxnn_ocr_cpp_spark.operators.dedup import hamming_pairs
+    sigs = with_audio_fp(df).filter(F.col("afp").isNotNull())
+    return hamming_pairs(sigs, max_hamming,
+                         id_col="media_id", sig_col="afp")
+
+
+def synthesize_patterned_audio(docs: DataFrame, n_groups: int = 25,
+                               corrupt_every: int = 37) -> DataFrame:
+    """Deterministic patterned-WAV table for the fingerprint
+    certification query: doc_id % n_groups picks a 65-window amplitude
+    pattern (pure integer function of (window, group)), so same-group
+    clips are byte-identical while distinct groups sit >= 11 hamming
+    bits apart (margin pinned by tests). Every corrupt_every-th doc
+    truncates the payload (planted per-row decode failures)."""
+    ng, ce = int(n_groups), int(corrupt_every)
+
+    def build(batches):
+        w = np.arange(AFP_WINDOWS)
+        pats = {}
+        for g in range(ng):
+            amp = ((((w + 29 * g) * 73856093)
+                    ^ ((w * w + g) * 19349663)) >> 8) & 0x3FF
+            pats[g] = make_wav(
+                np.repeat(amp.astype(np.int16), AFP_WINDOW), 8000)
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = pats[did % ng]
+                if ce and did % ce == 0:
+                    p = p[:10]
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="media_id long, payload binary")
+
+
 def synthesize_media(docs: DataFrame, corrupt_every: int = 17) -> DataFrame:
     """Deterministic codec-free media table derived from doc_id —
     the fixture source for the decode certification query. Planted
