@@ -775,6 +775,33 @@ def q_audio_fp_pairs(spark, sf_dir):
     return audio_fp_pairs(synthesize_patterned_audio(d), max_hamming=2)
 
 
+def q_media_dedup_keeplist(spark, sf_dir):
+    """END-TO-END perceptual media dedup — the fuzzy_dedup_keeplist
+    composition applied to binary media: dHash pairs (radius 2) ->
+    alternating-star connected components -> keep the smallest id per
+    duplicate cluster -> survivor anti-join. Undecodable payloads
+    produce no signature, so they can never be DROPPED by the dedup —
+    the conservative fault policy a real pipeline wants (a corrupt
+    byte stream must not evict a good capture) — and the planted
+    corruption rule makes the oracle assert exactly that. All stages
+    after the signature are result-sized."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cc import connected_components
+    from dxnn_ocr_cpp_spark.operators.multimodal import (
+        image_dhash_pairs, synthesize_patterned_images)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_patterned_images(d)
+    pairs = image_dhash_pairs(media, max_hamming=2)
+    comp = connected_components(pairs, "a", "b")
+    canon = comp.groupBy("component").agg(F.min("node").alias("keep"))
+    drops = (comp.join(canon, "component")
+             .filter(F.col("node") != F.col("keep"))
+             .select(F.col("node").alias("media_id")))
+    return (media.select("media_id")
+            .join(drops, "media_id", "left_anti")
+            .orderBy("media_id"))
+
+
 def q_sitemap_harvest(spark, sf_dir):
     """Crawl-frontier harvesting (operators/feeds.py sitemap_entries):
     build sitemaps.org XML from doc_id arithmetic IN CATALYST (urlset
@@ -2258,6 +2285,52 @@ def q_fuzzy_dedup_keeplist(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_publish_dates(spark, sf_dir):
+    """Publish-date extraction (operators/meta.py publish_dates) —
+    the freshness signal for recency weighting: article:published_time
+    meta tag, first <time datetime>, date-shaped URL segments, in that
+    priority, each requiring a syntactically valid YYYY-MM-DD prefix
+    (invalid values fall through). Planted arithmetic: doc_id %% 4
+    picks the source, doc_id %% 7 == 0 plants an INVALID value at that
+    source so the driver certifies the fall-through; the DuckDB twin
+    replays only the arithmetic, no regex."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.meta import publish_dates
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sel = i % 4
+    bad = i % 7 == 0
+    y = (F.lit(2000) + i % 25).cast("string")
+    mm = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    iso = F.concat(y, F.lit("-"), mm, F.lit("-"), dd)
+    meta_content = (F.when(bad, F.concat(y, F.lit("-13-40T00:00:00Z")))
+                    .otherwise(F.concat(iso, F.lit("T08:30:00+00:00"))))
+    time_content = (F.when(bad, F.lit("31-12-2023"))
+                    .otherwise(F.concat(iso, F.lit(" 10:00"))))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(sel == 0, F.concat(
+            F.lit('<meta property="article:published_time" content="'),
+            meta_content, F.lit('">'))).otherwise(F.lit("")),
+        F.when(sel == 1, F.concat(
+            F.lit('<article><time datetime="'), time_content,
+            F.lit('">x</time></article>'))).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"))
+    url = (F.when(sel == 0, F.concat(
+               F.lit("https://d.example.org/"), y, F.lit("/"), mm,
+               F.lit("/"), dd, F.lit("/post")))
+           .when(sel == 2, F.concat(
+               F.lit("https://d.example.org/"), y, F.lit("/"), mm,
+               F.lit("/post-"), i.cast("string")))
+           .otherwise(F.concat(F.lit("https://d.example.org/post-"),
+                               i.cast("string"))))
+    return (publish_dates(
+                d.select("doc_id", url.alias("url"), html.alias("html")))
+            .select("doc_id", "pub_date", "pub_source")
+            .orderBy("doc_id"))
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus monitoring rollup: doc and char totals per
     (lang, source) with CUBE subtotals — the per-slice accounting
@@ -2413,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "image_dhash_pairs": q_image_dhash_pairs,
         "audio_fp_pairs": q_audio_fp_pairs,
+        "media_dedup_keeplist": q_media_dedup_keeplist,
+        "publish_dates": q_publish_dates,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -3400,6 +3475,44 @@ ORACLES["image_dhash_pairs"] = """
       WHERE doc_id < 200 AND doc_id % 37 <> 0)
     SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INTEGER) AS hamming
     FROM ok a JOIN ok b ON a.grp = b.grp AND a.doc_id < b.doc_id
+"""
+
+# Publish-date twin: replay only the planted arithmetic (source
+# select, invalid plant, fall-through priority) — no regex, no HTML.
+ORACLES["publish_dates"] = """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 AS sel,
+             doc_id % 7 = 0 AS bad,
+             CAST(2000 + doc_id % 25 AS VARCHAR) AS y,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN sel = 0 THEN y || '-' || mm || '-' || dd
+           WHEN sel = 1 AND NOT bad THEN y || '-' || mm || '-' || dd
+           WHEN sel = 2 THEN y || '-' || mm || '-01'
+           ELSE '' END AS pub_date,
+      CASE WHEN sel = 0 AND NOT bad THEN 'meta'
+           WHEN sel = 0 AND bad THEN 'url'
+           WHEN sel = 1 AND NOT bad THEN 'time'
+           WHEN sel = 2 THEN 'url'
+           ELSE '' END AS pub_source
+    FROM d ORDER BY doc_id
+"""
+
+# Media dedup keep-list twin: per planted group keep min(doc_id) over
+# the decodable rows; corrupt rows (no signature) are NEVER dropped.
+ORACLES["media_dedup_keeplist"] = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    ok AS (SELECT doc_id, doc_id % 25 AS grp FROM ids
+           WHERE doc_id % 37 <> 0),
+    keepers AS (SELECT min(doc_id) AS media_id FROM ok GROUP BY grp),
+    corrupt AS (SELECT doc_id AS media_id FROM ids WHERE doc_id % 37 = 0)
+    SELECT media_id FROM keepers
+    UNION ALL
+    SELECT media_id FROM corrupt
+    ORDER BY media_id
 """
 
 # Audio-fingerprint twin: identical planted-arithmetic replay as

@@ -85,3 +85,56 @@ def page_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
             .withColumn("canonical_url", canon)
             .withColumn("og_title", og)
             .withColumn("html_lang", lang))
+
+
+# ---------- publish-date extraction ----------
+#
+# Freshness signal for mixture weighting / recency filtering — real
+# pipelines extract it from (in priority order): the
+# article:published_time meta tag, the first <time datetime=...>
+# element, and date-shaped URL path segments (/2024/05[/17]/). A
+# syntactically valid YYYY-MM-DD prefix is required at each source; an
+# invalid value falls through to the next source. Validation is the
+# regex below — calendar semantics (Feb 30) are out of scope, the
+# twin must replay EXACTLY this rule.
+
+PUBLISHED_TAG_RE = (
+    r"""(?is)<meta\s[^>]*?property\s*=\s*"""
+    r"""["']article:published_time["'][^>]*>""")
+TIME_ATTR_RE = r"""(?is)<time\s[^>]*?datetime\s*=\s*["']([^"']*)["']"""
+DATE_PREFIX_RE = (
+    r"^((?:19|20)\d{2})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])")
+URL_DATE_RE = (
+    r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(?:/|$)")
+
+
+def publish_dates(df: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Adds (pub_date 'YYYY-MM-DD' or '', pub_source
+    meta|time|url|''). Pure Catalyst regexp in the scan stage — zero
+    Python, zero shuffle (page_meta discipline); all pattern strings
+    are module constants in the Java/RE2 common subset."""
+    h = F.col(html_col)
+    meta_raw = F.regexp_extract(
+        F.regexp_extract(h, PUBLISHED_TAG_RE, 0), CONTENT_ATTR_RE, 1)
+    meta_date = F.regexp_extract(meta_raw, DATE_PREFIX_RE, 0)
+    time_date = F.regexp_extract(
+        F.regexp_extract(h, TIME_ATTR_RE, 1), DATE_PREFIX_RE, 0)
+    u = F.col(url_col)
+    url_y = F.regexp_extract(u, URL_DATE_RE, 1)
+    url_m = F.regexp_extract(u, URL_DATE_RE, 2)
+    url_d = F.regexp_extract(u, URL_DATE_RE, 3)
+    url_date = F.when(
+        url_y != "",
+        F.concat_ws("-", url_y, url_m,
+                    F.when(url_d == "", F.lit("01")).otherwise(url_d))
+    ).otherwise(F.lit(""))
+    pub_date = (F.when(meta_date != "", meta_date)
+                .when(time_date != "", time_date)
+                .otherwise(url_date))
+    pub_source = (F.when(meta_date != "", F.lit("meta"))
+                  .when(time_date != "", F.lit("time"))
+                  .when(url_date != "", F.lit("url"))
+                  .otherwise(F.lit("")))
+    return (df.withColumn("pub_date", pub_date)
+            .withColumn("pub_source", pub_source))

@@ -81,3 +81,61 @@ def test_clean_text_collapses_all_whitespace(spark):
     df = spark.createDataFrame([("a\t\n  b&nbsp;&nbsp;c",)], "s string")
     assert df.select(clean_text(F.col("s")).alias("c")) \
              .collect()[0]["c"] == "a b c"
+
+
+# ---------- publish-date extraction ----------
+
+from dxnn_ocr_cpp_spark.operators.meta import publish_dates  # noqa: E402
+
+
+def _pd_rows(spark, cases):
+    df = spark.createDataFrame(cases, "doc_id long, url string, html string")
+    return {r["doc_id"]: r for r in publish_dates(df).collect()}
+
+
+def test_publish_date_priority_meta_wins(spark):
+    got = _pd_rows(spark, [(0,
+        "https://a.ex/2020/01/05/p",
+        '<meta property="article:published_time" content="2024-06-17T08:00:00Z">'
+        '<time datetime="2023-01-01">x</time>')])
+    assert got[0]["pub_date"] == "2024-06-17"
+    assert got[0]["pub_source"] == "meta"
+
+
+def test_publish_date_time_element(spark):
+    got = _pd_rows(spark, [(0, "https://a.ex/p",
+                            '<time datetime="2022-11-03 10:00">x</time>')])
+    assert got[0]["pub_date"] == "2022-11-03"
+    assert got[0]["pub_source"] == "time"
+
+
+def test_publish_date_url_segments(spark):
+    got = _pd_rows(spark, [
+        (0, "https://a.ex/2021/07/19/post.html", "<p>x</p>"),
+        (1, "https://a.ex/2021/07/post.html", "<p>x</p>"),   # day default
+        (2, "https://a.ex/12021/99/post.html", "<p>x</p>"),  # not a date
+    ])
+    assert (got[0]["pub_date"], got[0]["pub_source"]) == ("2021-07-19", "url")
+    assert got[1]["pub_date"] == "2021-07-01"
+    assert (got[2]["pub_date"], got[2]["pub_source"]) == ("", "")
+
+
+def test_publish_date_invalid_falls_through(spark):
+    # syntactically invalid meta month -> fall to <time>, then url
+    got = _pd_rows(spark, [
+        (0, "https://a.ex/p",
+         '<meta property="article:published_time" content="2024-13-40">'
+         '<time datetime="2022-02-09">x</time>'),
+        (1, "https://a.ex/2019/04/p",
+         '<meta property="article:published_time" content="garbage">'),
+    ])
+    assert (got[0]["pub_date"], got[0]["pub_source"]) == ("2022-02-09", "time")
+    assert (got[1]["pub_date"], got[1]["pub_source"]) == ("2019-04-01", "url")
+
+
+def test_publish_date_plan_scan_stage_only(spark):
+    df = spark.createDataFrame([(0, "https://a.ex/p", "<p>x</p>")],
+                               "doc_id long, url string, html string")
+    plan = publish_dates(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
