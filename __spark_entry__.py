@@ -2331,6 +2331,41 @@ def q_publish_dates(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_to_shards(spark, sf_dir):
+    """THE end-to-end story in one job: Common-Crawl-style html ->
+    extracted main content (stage 1-3) -> whitespace token counts ->
+    short-doc gate (>= 40 tokens) -> fixed-token-budget training-shard
+    assignment via the bucketed distributed prefix sum. This is the
+    composition a training-data pipeline actually runs from a crawl
+    table to tokenizer-ready shards; everything upstream of
+    pack_shards is the zero-shuffle extraction plan. Input is the
+    seeded 200-doc corpus, so the oracle is a frozen expected parquet
+    (tools/freeze_extract_expected.py; staleness caught first by
+    tests/test_golden.py-style fixture-fresh test in
+    tests/test_markdown.py's sibling below)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.corpus import generate_documents_df
+    from dxnn_ocr_cpp_spark.operators.shards import pack_shards
+    from dxnn_ocr_cpp_spark.operators.textstats import token_count
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    ext = extract(docs)
+    kept = (ext.select(
+                "url",
+                F.regexp_extract("url", r"page-(\d+)$", 1)
+                 .cast("long").alias("doc_no"),
+                token_count(F.col("text")).cast("long")
+                 .alias("n_tokens"))
+            .filter(F.col("n_tokens") >= 40))
+    packed = pack_shards(kept, tokens_col="n_tokens",
+                         order_col="doc_no",
+                         shard_tokens=20_000, bucket_width=32)
+    return packed.select("url", "doc_no", "n_tokens",
+                         F.col("cum_tokens").cast("long")
+                          .alias("cum_tokens"),
+                         F.col("shard_id").cast("long").alias("shard_id"))
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus monitoring rollup: doc and char totals per
     (lang, source) with CUBE subtotals — the per-slice accounting
@@ -2423,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 1: composed pipelines (the engine's headline work) --
         "extract_corpus": q_extract_corpus,
         "extract_markdown": q_extract_markdown,
+        "corpus_to_shards": q_corpus_to_shards,
         "fuzzy_dedup_keeplist": q_fuzzy_dedup_keeplist,
         "incremental_dedup": q_incremental_dedup,
         "frontier_build": q_frontier_build,
@@ -2467,7 +2503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "winnow_pairs_md5": q_winnow_pairs_md5,
         "embedding_topk": q_embedding_topk,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_lsh_topk_planted": q_embedding_lsh_topk_planted,
         "embedding_ivf_topk_planted": q_embedding_ivf_topk_planted,
         "embedding_cosine_dups_scale_planted":
@@ -2477,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
         "corpus_stats": q_corpus_stats,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
         "host_template_lines": q_host_template_lines,
         "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
@@ -3802,6 +3838,13 @@ ORACLES["extract_corpus"] = """
 ORACLES["extract_markdown"] = """
     SELECT url, md_len, md_md5, n_headings, n_list_items
     FROM read_parquet('/root/repo/tests/golden/extract_markdown_expected.parquet')
+"""
+
+# End-to-end corpus->shards twin — frozen-fixture discipline;
+# staleness caught first by tests/test_shards_pipeline.py.
+ORACLES["corpus_to_shards"] = """
+    SELECT url, doc_no, n_tokens, cum_tokens, shard_id
+    FROM read_parquet('/root/repo/tests/golden/corpus_to_shards_expected.parquet')
 """
 
 # Unigram-LM quality twin: replays the dedup-family tokenization, the

@@ -177,6 +177,14 @@ HEADLINE = [
     "paragraph_dedup",
     "incremental_refresh",
     "crawl_schedule",
+    "phrase_search",
+    "bm25_rank",
+    "extract_markdown",
+    "host_template_lines",
+    "image_dhash_pairs",
+    "audio_fp_pairs",
+    "media_dedup_keeplist",
+    "publish_dates",
 ]
 
 

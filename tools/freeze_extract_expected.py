@@ -40,9 +40,18 @@ MD_SCHEMA = pa.schema([("url", pa.string()),
                        ("n_headings", pa.int64()),
                        ("n_list_items", pa.int64())])
 
+SHARDS_EXPECTED = EXPECTED.parent / "corpus_to_shards_expected.parquet"
+
+SHARDS_SCHEMA = pa.schema([("url", pa.string()),
+                           ("doc_no", pa.int64()),
+                           ("n_tokens", pa.int64()),
+                           ("cum_tokens", pa.int64()),
+                           ("shard_id", pa.int64())])
+
 
 def freeze() -> None:
-    from __spark_entry__ import q_extract_corpus, q_extract_markdown
+    from __spark_entry__ import (q_corpus_to_shards, q_extract_corpus,
+                                 q_extract_markdown)
     from dxnn_ocr_cpp_spark.session import build_session
     spark = build_session(app="freeze-extract-expected", master="local[1]",
                           shuffle_partitions=1)
@@ -50,7 +59,9 @@ def freeze() -> None:
         EXPECTED.parent.mkdir(parents=True, exist_ok=True)
         for q, schema, path in ((q_extract_corpus, SCHEMA, EXPECTED),
                                 (q_extract_markdown, MD_SCHEMA,
-                                 MD_EXPECTED)):
+                                 MD_EXPECTED),
+                                (q_corpus_to_shards, SHARDS_SCHEMA,
+                                 SHARDS_EXPECTED)):
             rows = sorted(q(spark, "").collect(), key=lambda r: r["url"])
             tbl = pa.Table.from_pylist([r.asDict() for r in rows],
                                        schema=schema)
