@@ -802,6 +802,65 @@ def q_media_dedup_keeplist(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: discovery from robots.txt (operators/urls.py
+    robots_sitemaps) — the missing link between parse_robots (which
+    ignores non-rule fields by policy) and feeds.sitemap_entries.
+    Planted bodies exercise case-insensitive field names, zero-space
+    colons, trailing comments, relative values (dropped per RFC 9309
+    absolute-URI requirement), and in-file duplicates (collapsed);
+    the DuckDB twin replays only the doc_id arithmetic."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import robots_sitemaps
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), i.cast("string"), F.lit(".ex"))
+    base = F.concat(F.lit("https://"), host)
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.when(i % 2 == 0, F.concat(
+            F.lit("Sitemap: "), base, F.lit("/sm-"), i.cast("string"),
+            F.lit(".xml # find me\n"))).otherwise(F.lit("")),
+        F.when((i % 2 == 0) & (i % 7 == 0), F.concat(
+            F.lit("Sitemap: "), base, F.lit("/sm-"), i.cast("string"),
+            F.lit(".xml\n"))).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("sitemap:"), base,
+            F.lit("/extra.xml\n"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit("Sitemap: /relative-"), i.cast("string"),
+            F.lit(".xml\n"))).otherwise(F.lit("")))
+    return (robots_sitemaps(
+                d.select(host.alias("host"), txt.alias("robots_txt")))
+            .orderBy("host", "sitemap_url"))
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """rel=canonical collapse (operators/urls.py canonical_collapse)
+    — dedup downstream of page_meta: AMP/mobile/tracking variants
+    declaring the same canonical collapse to ONE representative (the
+    latest capture, ties to larger url). Planted: doc_id %% 3 == 0
+    rows share group canonicals (doc_id %% 40), %% 3 == 2 rows declare
+    a RELATIVE canonical (ignored -> self-keyed), ts = (doc_id*7) %%
+    100 so ties exercise the url tie-break. One partial-agg groupBy,
+    no window; DuckDB twin replays arithmetic + row_number winner."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import canonical_collapse
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://s.ex/v/"), i.cast("string"))
+    canon = (F.when(i % 3 == 0,
+                    F.concat(F.lit("https://c.ex/g"),
+                             (i % 40).cast("string")))
+             .when(i % 3 == 2, F.lit("/relative"))
+             .otherwise(F.lit("")))
+    ts = ((i * 7) % 100).cast("long")
+    base = d.select(url.alias("url"), canon.alias("canonical_url"),
+                    ts.alias("ts"))
+    return (canonical_collapse(base, ts_col="ts")
+            .orderBy("canon_key"))
+
+
 def q_sitemap_harvest(spark, sf_dir):
     """Crawl-frontier harvesting (operators/feeds.py sitemap_entries):
     build sitemaps.org XML from doc_id arithmetic IN CATALYST (urlset
@@ -2524,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_pairs": q_audio_fp_pairs,
         "media_dedup_keeplist": q_media_dedup_keeplist,
         "publish_dates": q_publish_dates,
+        "robots_sitemaps": q_robots_sitemaps,
+        "canonical_collapse": q_canonical_collapse,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -3511,6 +3572,40 @@ ORACLES["image_dhash_pairs"] = """
       WHERE doc_id < 200 AND doc_id % 37 <> 0)
     SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS INTEGER) AS hamming
     FROM ok a JOIN ok b ON a.grp = b.grp AND a.doc_id < b.doc_id
+"""
+
+# robots Sitemap-discovery twin: replay the plant arithmetic (which
+# directives were planted, which are relative, which duplicate).
+ORACLES["robots_sitemaps"] = """
+    WITH d AS (
+      SELECT doc_id, 'h' || doc_id || '.ex' AS host,
+             'https://h' || doc_id || '.ex' AS base
+      FROM documents),
+    sm AS (
+      SELECT host, base || '/sm-' || doc_id || '.xml' AS sitemap_url
+      FROM d WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT host, base || '/extra.xml' FROM d WHERE doc_id % 3 = 0)
+    SELECT host, sitemap_url FROM sm ORDER BY host, sitemap_url
+"""
+
+# canonical-collapse twin: arithmetic replay + row_number winner.
+ORACLES["canonical_collapse"] = """
+    WITH d AS (
+      SELECT 'https://s.ex/v/' || doc_id AS url,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'https://c.ex/g' || (doc_id % 40)
+                  ELSE NULL END AS canon,
+             CAST((doc_id * 7) % 100 AS BIGINT) AS ts
+      FROM documents),
+    k AS (SELECT coalesce(canon, url) AS canon_key, url, ts FROM d),
+    r AS (SELECT canon_key, url, ts,
+                 row_number() OVER (PARTITION BY canon_key
+                                    ORDER BY ts DESC, url DESC) AS rn,
+                 count(*) OVER (PARTITION BY canon_key) AS n_captures
+          FROM k)
+    SELECT canon_key, url, ts, CAST(n_captures AS BIGINT) AS n_captures
+    FROM r WHERE rn = 1 ORDER BY canon_key
 """
 
 # Publish-date twin: replay only the planted arithmetic (source

@@ -280,6 +280,78 @@ def parse_robots(df: DataFrame, txt_col: str = "robots_txt",
             .select("host", "r.agent", "r.allow", "r.prefix"))
 
 
+# ---------- robots.txt Sitemap: discovery ----------
+
+_ROBOTS_SITEMAP_RE = r"(?i)^sitemap:\s*(\S+)\s*$"
+
+
+def robots_sitemaps(df: DataFrame, txt_col: str = "robots_txt",
+                    host_col: str = "host") -> DataFrame:
+    """Extract `Sitemap:` directives from raw robots.txt bodies —
+    the discovery link between the robots pipeline (parse_robots
+    deliberately ignores non-rule fields) and the sitemap harvester
+    (feeds.sitemap_entries): robots fetch -> THIS -> sitemap fetch ->
+    urlset parse -> frontier.
+
+    Policy (RFC 9309 §2.3 simplified, each point pinned in tests):
+    field name case-insensitive, comments (#) stripped, value
+    trimmed; the directive is global (not scoped to a User-agent
+    group), so position is ignored; RELATIVE values are dropped (the
+    RFC requires an absolute URI); exact duplicates within one
+    robots.txt collapse to one row.
+
+    Shape: pure Catalyst (split -> transform -> filter ->
+    array_distinct), ONE explode, zero Python, zero shuffle —
+    the parse_robots discipline. Returns (host_col, sitemap_url)."""
+    lines = F.split(F.col(txt_col), "\n")
+    clean = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, "#.*$", "")))
+    urls = F.filter(
+        F.transform(clean,
+                    lambda ln: F.regexp_extract(
+                        ln, _ROBOTS_SITEMAP_RE, 1)),
+        lambda u: (u != "") & u.rlike(SCHEME_RE))
+    return df.select(F.col(host_col),
+                     F.explode(F.array_distinct(urls))
+                      .alias("sitemap_url"))
+
+
+# ---------- rel=canonical collapse ----------
+
+def canonical_collapse(df: DataFrame, url_col: str = "url",
+                       canon_col: str = "canonical_url",
+                       ts_col: str = "warc_ts") -> DataFrame:
+    """Collapse alternate captures onto their rel=canonical target —
+    the dedup step downstream of meta.page_meta: mobile/AMP/tracking
+    variants of one article all declare the same canonical URL, and a
+    training corpus wants ONE representative per canonical identity.
+
+    Key = the page's declared canonical when non-empty AND absolute
+    (SCHEME_RE — a relative canonical is ambiguous and ignored), else
+    the page's own url. Winner per key = latest ts_col, ties broken by
+    larger url string, so the choice is deterministic and
+    partitioning-independent.
+
+    Shape: ONE partial-aggregated groupBy on the canonical key
+    (max_by struct — no window, no join-back); count rides along.
+    Returns (canon_key, url, ts_col, n_captures)."""
+    key = (F.when((F.col(canon_col).isNotNull())
+                  & (F.col(canon_col) != "")
+                  & F.col(canon_col).rlike(SCHEME_RE),
+                  F.col(canon_col))
+           .otherwise(F.col(url_col)))
+    base = df.select(key.alias("canon_key"), F.col(url_col).alias("url"),
+                     F.col(ts_col).alias(ts_col))
+    return (base.groupBy("canon_key")
+            .agg(F.max_by(
+                     F.struct(F.col("url").alias("url"),
+                              F.col(ts_col).alias(ts_col)),
+                     F.struct(F.col(ts_col), F.col("url"))).alias("w"),
+                 F.count(F.lit(1)).cast("long").alias("n_captures"))
+            .select("canon_key", F.col("w.url").alias("url"),
+                    F.col(f"w.{ts_col}").alias(ts_col), "n_captures"))
+
+
 # ---------- crawl politeness scheduler ----------
 
 def crawl_schedule(frontier: DataFrame, delays: DataFrame = None,

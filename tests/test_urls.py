@@ -363,3 +363,84 @@ class TestCrawlSchedule:
         assert n_ex <= 1, plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
             not in plan
+
+
+class TestRobotsSitemaps:
+    def _rows(self, spark, txt):
+        from dxnn_ocr_cpp_spark.operators.urls import robots_sitemaps
+        df = spark.createDataFrame([("h.ex", txt)],
+                                   "host string, robots_txt string")
+        return sorted(r["sitemap_url"]
+                      for r in robots_sitemaps(df).collect())
+
+    def test_basic_and_case_insensitive(self, spark):
+        got = self._rows(spark, "User-agent: *\nDisallow: /x\n"
+                                "Sitemap: https://h.ex/a.xml\n"
+                                "sitemap:https://h.ex/b.xml\n"
+                                "SITEMAP:   https://h.ex/c.xml   \n")
+        assert got == ["https://h.ex/a.xml", "https://h.ex/b.xml",
+                       "https://h.ex/c.xml"]
+
+    def test_relative_dropped_comments_stripped(self, spark):
+        got = self._rows(spark,
+                         "Sitemap: /rel.xml\n"
+                         "Sitemap: https://h.ex/a.xml # note\n"
+                         "# Sitemap: https://h.ex/commented.xml\n")
+        assert got == ["https://h.ex/a.xml"]
+
+    def test_duplicates_collapse(self, spark):
+        got = self._rows(spark, "Sitemap: https://h.ex/a.xml\n"
+                                "Sitemap: https://h.ex/a.xml\n")
+        assert got == ["https://h.ex/a.xml"]
+
+    def test_no_directive_no_rows(self, spark):
+        assert self._rows(spark, "User-agent: *\nDisallow: /\n") == []
+
+    def test_plan_pure_catalyst(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import robots_sitemaps
+        df = spark.createDataFrame([("h.ex", "Sitemap: https://h.ex/a")],
+                                   "host string, robots_txt string")
+        plan = (robots_sitemaps(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestCanonicalCollapse:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, canonical_url string, ts long")
+
+    def test_collapse_latest_wins(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import canonical_collapse
+        df = self._df(spark, [
+            ("https://m.ex/a?amp=1", "https://c.ex/a", 10),
+            ("https://m.ex/a", "https://c.ex/a", 20),
+            ("https://m.ex/b", "", 5),              # self key
+            ("https://m.ex/c", "/relative", 7),     # ignored -> self
+            ("https://m.ex/d", None, 9),            # null -> self
+        ])
+        got = {r["canon_key"]: r for r in
+               canonical_collapse(df, ts_col="ts").collect()}
+        assert got["https://c.ex/a"]["url"] == "https://m.ex/a"
+        assert got["https://c.ex/a"]["ts"] == 20
+        assert got["https://c.ex/a"]["n_captures"] == 2
+        assert got["https://m.ex/b"]["n_captures"] == 1
+        assert "https://m.ex/c" in got and "https://m.ex/d" in got
+
+    def test_tie_breaks_on_url(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import canonical_collapse
+        df = self._df(spark, [
+            ("https://m.ex/a1", "https://c.ex/a", 10),
+            ("https://m.ex/a2", "https://c.ex/a", 10),
+        ])
+        r = canonical_collapse(df, ts_col="ts").collect()[0]
+        assert r["url"] == "https://m.ex/a2"     # larger string wins
+
+    def test_one_exchange_no_window(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import canonical_collapse
+        df = self._df(spark, [("https://m.ex/a", "", 1)])
+        plan = (canonical_collapse(df, ts_col="ts")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") <= 1
+        assert "Window" not in plan
