@@ -210,6 +210,20 @@ def ensure_corpus(path: str, n_docs: int) -> None:
         spark.stop()
 
 
+def _proc_stat_busy() -> float:
+    """System-wide busy CPU seconds since boot (/proc/stat line 1:
+    total minus idle+iowait). The bench owns the machine during a
+    scaling leg, so a delta across the measured pass is the engine's
+    whole-process-tree CPU — JVM scan/Arrow threads AND python UDF
+    workers — which per-process rusage cannot capture reliably
+    (the JVM reaps its own python daemons)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
 def scaling_worker(cores: int, corpus: str) -> dict:
     """Runs in a child JVM: extract the corpus at local[cores]."""
     sys.path.insert(0, str(REPO))
@@ -249,13 +263,14 @@ def scaling_worker(cores: int, corpus: str) -> dict:
         docs = spark.read.parquet(corpus)
         n = docs.count()
 
-        def run() -> float:
+        def run() -> tuple:
+            c0 = _proc_stat_busy()
             t0 = time.monotonic()
             # no repartition: the corpus layout already provides ~200
             # balanced splits; a shuffle of the html bytes would only
             # add disk traffic (hot path stays zero-shuffle)
             _materialize(extract(docs))
-            return time.monotonic() - t0
+            return time.monotonic() - t0, _proc_stat_busy() - c0
 
         # warm pass: spawns every Python worker + JITs the plan
         # (reference keeps only post-warm runs, benchmark.cpp:184-222).
@@ -284,10 +299,20 @@ def scaling_worker(cores: int, corpus: str) -> dict:
                 F.sum(F.length("text"))).collect()[0][0] or 0
             chars_cache.write_text(json.dumps(
                 {"total_chars": total_chars, "code": code_key}))
-        wall = run()
+        wall, busy = run()
+        # cores_used exposes the local-mode accounting gap the raw
+        # N->4N ratio hides: a local[8] leg on a 32-vCPU box lets the
+        # JVM's scan/Arrow/GC threads ride the 24 idle cores for free,
+        # so "8 cores" understates what the lo leg really consumed and
+        # the raw wide-window efficiency double-counts that borrowed
+        # CPU against the hi leg. On a real cluster the executor
+        # cgroup caps this; here we publish measured busy-CPU so the
+        # ratio can be read per actually-used core.
         return {"cores": cores, "wall_sec": round(wall, 3),
                 "docs": n, "docs_per_sec": round(n / wall, 2),
-                "chars_per_sec": round(total_chars / wall, 1)}
+                "chars_per_sec": round(total_chars / wall, 1),
+                "busy_cpu_sec": round(busy, 1),
+                "cores_used": round(busy / wall, 2)}
     finally:
         spark.stop()
 
@@ -313,6 +338,25 @@ def _burn(n: int) -> int:
     for i in range(n):
         s += i * i
     return s
+
+
+def per_core_ratio(hi_round: dict, lo_a: dict, lo_b: dict) -> float | None:
+    """One bracketed round's PER-BUSY-CORE efficiency: each leg's
+    throughput divided by the cores it measurably used (/proc/stat
+    busy delta), hi ratioed against the mean of its two bracketing lo
+    legs — the same drift cancellation as the raw ratio. This isolates
+    the ENGINE's scalability from local-mode core borrowing: a
+    local[8] leg on a 32-vCPU box gets its JVM scan/Arrow/GC work done
+    on idle cores the nominal '8' never charges it for, deflating the
+    raw N->4N number (a real cluster's executor cgroup would cap it).
+    Returns None when any leg lacks cores_used (pre-instrumentation
+    cached windows)."""
+    lo_pc = [r["docs_per_sec"] / r["cores_used"]
+             for r in (lo_a, lo_b) if r.get("cores_used")]
+    if len(lo_pc) < 2 or not hi_round.get("cores_used"):
+        return None
+    return (hi_round["docs_per_sec"] / hi_round["cores_used"]) \
+        / (sum(lo_pc) / len(lo_pc))
 
 
 def window_unstable(bracket_probes: list, eff_rounds: list,
@@ -410,6 +454,15 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
             out.append(h["docs_per_sec"] / (lo_mean * (hi / lo)))
         return out
 
+    def per_core_ratios():
+        out = []
+        for i, h in enumerate(hi_seq):
+            r = per_core_ratio(h, lo_seq[i], lo_seq[i + 1])
+            if r is None:
+                return []
+            out.append(r)
+        return out
+
     def n_rounds():
         return len(hi_seq)
 
@@ -479,7 +532,19 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     unstable = window_unstable(
         [gate_probe, post], eff_rounds, eff, ceiling,
         dps=(results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]))
+    pc_rounds = per_core_ratios()
+    pc = {}
+    if pc_rounds:
+        pc = {
+            "per_core_efficiency": round(statistics.median(pc_rounds), 4),
+            "per_core_efficiency_rounds": [round(e, 4) for e in pc_rounds],
+            "cores_used": {
+                f"local[{lo}]": results[lo].get("cores_used"),
+                f"local[{hi}]": results[hi].get("cores_used"),
+            },
+        }
     return {
+        **pc,
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
         "scaling_factor": hi / lo,
@@ -591,6 +656,21 @@ def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
         f"{ext['efficiency_vs_host_ceiling']})",
         "",
     ]
+    if ext.get("per_core_efficiency") is not None:
+        cu = ext.get("cores_used", {})
+        lines += [
+            f"Busy-CPU accounting (/proc/stat during the measured pass): "
+            f"local[{lo}] actually used {cu.get(f'local[{lo}]')} cores, "
+            f"local[{hi}] used {cu.get(f'local[{hi}]')} — in local mode "
+            f"the lo leg's JVM scan/Arrow/GC threads borrow idle cores "
+            f"the nominal thread count doesn't charge it for (a real "
+            f"cluster's executor cgroup would). **Per-busy-core "
+            f"efficiency (docs/s per measured core, hi vs lo): "
+            f"{ext['per_core_efficiency']}** — the engine-scalability "
+            f"number with that borrowing removed; per-round "
+            f"{ext['per_core_efficiency_rounds']}.",
+            "",
+        ]
     if "unstable_current_window" in ext:
         cur = ext["unstable_current_window"]
         lines += [
@@ -890,7 +970,7 @@ def _ext_summary(ext: dict, levels: tuple) -> dict:
     """Compact scalars for the one-line driver JSON; full window detail
     lives in BENCH/bench_detail.json."""
     lo, hi = levels
-    return {
+    out = {
         "levels": [lo, hi],
         "docs_per_sec": {str(lo): ext[f"local[{lo}]"]["docs_per_sec"],
                          str(hi): ext[f"local[{hi}]"]["docs_per_sec"]},
@@ -899,6 +979,9 @@ def _ext_summary(ext: dict, levels: tuple) -> dict:
         "vs_ceiling": ext["efficiency_vs_host_ceiling"],
         "unstable": bool(ext.get("host_window_unstable")),
     }
+    if ext.get("per_core_efficiency") is not None:
+        out["per_core_eff"] = ext["per_core_efficiency"]
+    return out
 
 
 def main() -> None:

@@ -157,6 +157,40 @@ class TestStableWindowPolicy:
         assert out["scaling_efficiency"] == 0.70
 
 
+class TestPerCoreAccounting:
+    def test_proc_stat_busy_monotone(self):
+        a = bench._proc_stat_busy()
+        sum(i * i for i in range(2_000_000))  # burn a little CPU
+        b = bench._proc_stat_busy()
+        assert b >= a > 0.0
+
+    def test_borrowed_cores_scenario(self):
+        # the wide-window artifact: local[8] measurably used 11 cores
+        # (JVM work on idle cores), local[32] used 28. Raw ratio reads
+        # 0.51; per-busy-core reads the engine's true scalability.
+        lo = {"docs_per_sec": 5846.0, "cores_used": 11.0}
+        hi = {"docs_per_sec": 11615.0, "cores_used": 28.0}
+        r = bench.per_core_ratio(hi, lo, lo)
+        assert abs(r - (11615.0 / 28.0) / (5846.0 / 11.0)) < 1e-9
+        assert 0.7 < r < 0.85  # raw would be 11615/(4*5846) = 0.497
+
+    def test_missing_cores_used_returns_none(self):
+        lo = {"docs_per_sec": 10.0, "cores_used": 2.1}
+        hi = {"docs_per_sec": 40.0}  # pre-instrumentation round
+        assert bench.per_core_ratio(hi, lo, lo) is None
+        assert bench.per_core_ratio(
+            {"docs_per_sec": 40.0, "cores_used": 8.0},
+            {"docs_per_sec": 10.0}, lo) is None
+
+    def test_ext_summary_carries_per_core_when_present(self):
+        w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
+        assert "per_core_eff" not in bench._ext_summary(w, (2, 8))
+        w["per_core_efficiency"] = 0.88
+        s = bench._ext_summary(w, (2, 8))
+        assert s["per_core_eff"] == 0.88
+        assert len(json.dumps(s)) < 280
+
+
 class TestCompactLine:
     def test_ext_summary_is_small_and_scalar(self):
         w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
