@@ -155,6 +155,97 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     return merges, words
 
 
+def _apply_merge(syms: list, left: str, right: str) -> list:
+    """Greedy left-to-right non-overlapping merge — the Python twin of
+    _merge_fold (same semantics, pinned against it in test_bpe)."""
+    out, i, ab, n = [], 0, left + right, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe_collected(df: DataFrame, text_col: str = "text",
+                        n_merges: int = 30_000,
+                        max_words: int = 50_000_000):
+    """The large-vocabulary scale path train_bpe's envelope points at:
+    word_counts(df) stays the ONE distributed corpus pass, then the
+    word table — distinct words, not the corpus; even a 100 TB corpus
+    yields tens of millions of rows (~60 B/entry, a few GB of driver
+    heap at the max_words guard) — is collected and the inherently
+    sequential merge loop runs single-node with INCREMENTAL pair-count
+    maintenance: each merge touches only the words containing the
+    merged pair (pair -> words index), not the whole table, so a real
+    30k-merge vocabulary costs seconds instead of 30k sequential Spark
+    jobs (train_bpe's driver-looped round per merge).
+
+    Same contract and bit-identical output as train_bpe: returns
+    (merges, words) with merges = ordered [(left, right, count)] and
+    words = (word, c, syms) DataFrame; selection key is (max count,
+    lexicographic 'left right' asc) and training stops when no pair
+    occurs twice. Equality with train_bpe AND the sequential reference
+    is pinned in tests/test_bpe.py."""
+    spark = df.sparkSession
+    wc_df = word_counts(df, text_col)
+    n_words = wc_df.count()
+    if n_words > max_words:
+        raise ValueError(
+            f"train_bpe_collected: {n_words} distinct words exceeds "
+            f"max_words={max_words} (driver-heap guard, ~60 B/word). "
+            f"Trim the tail first (word_counts(df).filter('c >= 2') "
+            f"drops hapaxes) or raise max_words explicitly.")
+    wc = {r["word"]: r["c"] for r in wc_df.collect()}
+
+    words = {w: list(w) + [END_OF_WORD] for w in wc}
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for w, syms in words.items():
+        c = wc[w]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(w)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(),
+            key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        if n < 2:
+            break
+        merges.append((left, right, int(n)))
+        # snapshot: the loop body mutates pair_words[(left, right)]
+        affected = list(pair_words.get((left, right), ()))
+        for w in affected:  # only words containing the merged pair
+            syms, c = words[w], wc[w]
+            for p in zip(syms, syms[1:]):
+                remaining = pair_counts[p] - c
+                if remaining:
+                    pair_counts[p] = remaining
+                else:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        del pair_words[p]
+            syms = _apply_merge(syms, left, right)
+            words[w] = syms
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(w)
+
+    rows = [(w, int(wc[w]), words[w]) for w in wc]
+    out = spark.createDataFrame(
+        rows, "word string, c long, syms array<string>")
+    return merges, out
+
+
 def merges_df(spark, merges) -> DataFrame:
     """The trained merge list as a DataFrame: (merge_idx, left,
     right, n) — the artifact to persist next to the corpus."""

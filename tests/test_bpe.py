@@ -116,6 +116,59 @@ def test_segment_counts_and_oov_fallback(spark):
     assert got[1]["n_words"] == 0 and got[1]["n_tokens"] == 0
 
 
+class TestTrainBpeCollected:
+    """The large-vocab scale path: one distributed word-count pass +
+    single-node incremental merge loop. Must be bit-identical to BOTH
+    the driver-looped train_bpe and the sequential reference."""
+
+    def test_matches_reference_and_distributed(self, spark):
+        df = _df(spark, CORPUS)
+        got_m, got_w = bpe.train_bpe_collected(df, n_merges=12)
+        want_m, want_w = ref_bpe(CORPUS, 12)
+        assert got_m == want_m
+        assert {r["word"]: r["syms"] for r in got_w.collect()} == want_w
+        dist_m, dist_w = bpe.train_bpe(df, n_merges=12)
+        assert got_m == dist_m
+        assert ({r["word"]: r["syms"] for r in got_w.collect()}
+                == {r["word"]: r["syms"] for r in dist_w.collect()})
+
+    def test_deep_merge_list_matches_reference(self, spark):
+        # enough merges to exercise the incremental index through many
+        # rounds of pair retirement and re-creation
+        texts = [" ".join(f"w{i % 37}x{i % 11}" for i in range(200))
+                 for _ in range(4)] + CORPUS
+        got_m, got_w = bpe.train_bpe_collected(_df(spark, texts),
+                                               n_merges=150)
+        want_m, want_w = ref_bpe(texts, 150)
+        assert got_m == want_m
+        assert {r["word"]: r["syms"] for r in got_w.collect()} == want_w
+
+    def test_early_stop_and_greedy(self, spark):
+        m, _ = bpe.train_bpe_collected(_df(spark, ["ab cd"]), n_merges=10)
+        assert m == []
+        m, w = bpe.train_bpe_collected(_df(spark, ["aaaa aaaa"]),
+                                       n_merges=1)
+        assert m == [("a", "a", 6)]
+        [row] = w.collect()
+        assert row["syms"] == ["aa", "aa", bpe.END_OF_WORD]
+
+    def test_max_words_guard(self, spark):
+        with pytest.raises(ValueError, match="max_words"):
+            bpe.train_bpe_collected(_df(spark, CORPUS), n_merges=2,
+                                    max_words=3)
+
+    def test_apply_merge_matches_catalyst_fold(self, spark):
+        # the Python merge twin vs the _merge_fold Catalyst aggregate
+        cases = [["a", "a", "a", "</w>"], ["x", "y", "x", "y", "</w>"],
+                 ["a"], [], ["y", "x", "y", "x"]]
+        df = spark.createDataFrame([(c,) for c in cases],
+                                   "syms array<string>")
+        got = [r[0] for r in df.select(
+            bpe._merge_fold(F.col("syms"), "x", "y")).collect()]
+        want = [bpe._apply_merge(c, "x", "y") for c in cases]
+        assert got == want
+
+
 def test_merges_df_schema(spark):
     merges, _ = bpe.train_bpe(_df(spark, ["aa aa bb"]), n_merges=2)
     out = bpe.merges_df(spark, merges)
