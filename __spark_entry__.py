@@ -2496,6 +2496,46 @@ def q_bm25_rank(spark, sf_dir):
             .orderBy("rank"))
 
 
+CMS_TERMS = ("agg", "neverseen", "spark", "table", "window")
+CMS_DEPTH, CMS_WIDTH = 4, 512
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Count-Min Sketch term-frequency estimates vs exact counts
+    (operators/cms.py, Cormode & Muthukrishnan 2005): the mergeable
+    fixed-size frequency grid a 100 TB corpus keeps where an exact
+    token groupBy is too wide. Build is ONE partial-aggregated
+    groupBy bounded by depth*width (never vocabulary size); lookup is
+    a broadcast probe join; the md5 Carter-Wegman row hashes make the
+    ENTIRE sketch DuckDB-replayable, so the twin certifies build +
+    lookup bit-for-bit AND the classic one-sided guarantee
+    (est >= exact, the never_under column) is value-checked per term
+    — including a never-seen term whose estimate is pure collision
+    noise."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.cms import (CMS_TOKEN_RE,
+                                                  cms_build, cms_lookup)
+    d = _t(spark, sf_dir, "documents")
+    sketch = cms_build(d, text_col="text",
+                       depth=CMS_DEPTH, width=CMS_WIDTH)
+    terms = spark.createDataFrame([(t,) for t in CMS_TERMS],
+                                  "term string")
+    est = cms_lookup(sketch, terms, depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (d.select(F.explode(F.regexp_extract_all(
+                F.lower("text"), F.lit(CMS_TOKEN_RE), 0)).alias("term"))
+             .where(F.col("term").isin(*CMS_TERMS))
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact")))
+    return (est.join(exact, "term", "left")
+            .select("term", "est",
+                    F.coalesce("exact", F.lit(0).cast("long"))
+                     .alias("exact"),
+                    (F.col("est")
+                     >= F.coalesce("exact", F.lit(0).cast("long")))
+                    .alias("never_under"))
+            .orderBy("term"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's correctness window.
 
@@ -2570,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (first 50) ends here ----
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
+        "cms_term_counts": q_cms_term_counts,
         "corpus_stats": q_corpus_stats,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "host_template_lines": q_host_template_lines,
@@ -5006,6 +5047,48 @@ def _bm25_oracle() -> str:
 
 ORACLES["phrase_search"] = _phrase_oracle()
 ORACLES["bm25_rank"] = _bm25_oracle()
+
+
+def _cms_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.cms import cms_oracle_cells_sql
+    terms = ", ".join(f"('{t}')" for t in CMS_TERMS)
+    from dxnn_ocr_cpp_spark.operators.dedup import (MH_A_MULT, MH_B_MULT,
+                                                    MH_P)
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, (({MH_A_MULT} * ({r} + 1)) % {MH_P}) AS a, "
+        f"(({MH_B_MULT} * ({r} + 7)) % {MH_P}) AS b"
+        for r in range(CMS_DEPTH))
+    return ("WITH " + cms_oracle_cells_sql(
+        "SELECT text FROM documents WHERE text IS NOT NULL", "text",
+        depth=CMS_DEPTH, width=CMS_WIDTH) + f""",
+    terms(term) AS (VALUES {terms}),
+    prows AS ({probe_rows}),
+    probes AS (
+      SELECT t.term, p.r,
+             (((CAST('0x' || substr(md5(lower(t.term)), 1, 8) AS BIGINT)
+                % {MH_P}) * p.a + p.b) % {MH_P}) % {CMS_WIDTH} AS bucket
+      FROM terms t CROSS JOIN prows p
+    ),
+    est AS (
+      SELECT p.term,
+             min(coalesce(g.n, CAST(0 AS BIGINT))) AS est
+      FROM probes p LEFT JOIN grid g
+        ON g.r = p.r AND g.bucket = p.bucket
+      GROUP BY p.term
+    ),
+    exact_t AS (
+      SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact
+      FROM toks WHERE tok IN (SELECT term FROM terms)
+      GROUP BY tok
+    )
+    SELECT e.term, e.est,
+           coalesce(x.exact, CAST(0 AS BIGINT)) AS exact,
+           e.est >= coalesce(x.exact, CAST(0 AS BIGINT)) AS never_under
+    FROM est e LEFT JOIN exact_t x USING (term)
+    ORDER BY e.term""")
+
+
+ORACLES["cms_term_counts"] = _cms_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
