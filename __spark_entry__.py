@@ -2496,6 +2496,50 @@ def q_bm25_rank(spark, sf_dir):
             .orderBy("rank"))
 
 
+def _trap_urls(spark, sf_dir):
+    """Deterministic URL corpus for the crawl-trap family, planted
+    from doc_id arithmetic (the media_decode discipline): host t0
+    carries a calendar trap (/cal/2024/M/D), t1 a session-id query
+    trap (/view?sid=<md5>&page=N), t2 only static pages; every 7th doc
+    also contributes a hex-id path (/s/<md5[0:10]> -> {H} marker). The
+    DuckDB twin rebuilds the identical strings."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("https://t"), (i % 3).cast("string"),
+                    F.lit(".example.org"))
+    url = F.when(i % 3 == 0, F.concat(
+        host, F.lit("/cal/2024/"), (i % 12 + 1).cast("string"),
+        F.lit("/"), (i % 28 + 1).cast("string"))) \
+        .when(i % 3 == 1, F.concat(
+            host, F.lit("/view?sid="),
+            F.substring(F.md5(i.cast("string")), 1, 12),
+            F.lit("&page="), (i % 9).cast("string"))) \
+        .otherwise(F.concat(
+            host, F.when(i % 2 == 0, F.lit("/about"))
+                   .otherwise(F.lit("/contact"))))
+    hexed = F.concat(host, F.lit("/s/"),
+                     F.substring(F.md5(i.cast("string")), 1, 10))
+    return (d.select(url.alias("url"))
+            .unionByName(d.where(i % 7 == 0)
+                         .select(hexed.alias("url"))))
+
+
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (urls.crawl_traps): URL-template explosion
+    — calendar labyrinths, session-id spaces, faceted blowups — the
+    frontier gate that keeps an infinite URL space from eating crawl
+    budget. Template = path with hex-id/digit runs collapsed to
+    {H}/{N} + sorted query param names; a (host, template) group traps
+    when it generalized something AND holds >= min_urls distinct URLs.
+    Two keyed exchanges, output template-universe-sized. The DuckDB
+    twin replays the IDENTICAL regex strings over the same planted
+    URLs."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import crawl_traps
+    return (crawl_traps(_trap_urls(spark, sf_dir), min_urls=20)
+            .orderBy("host", "template"))
+
+
 CMS_TERMS = ("agg", "neverseen", "spark", "table", "window")
 CMS_DEPTH, CMS_WIDTH = 4, 512
 
@@ -2611,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
         "cms_term_counts": q_cms_term_counts,
+        "crawl_traps": q_crawl_traps,
         "corpus_stats": q_corpus_stats,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "host_template_lines": q_host_template_lines,
@@ -5089,6 +5134,69 @@ def _cms_oracle() -> str:
 
 
 ORACLES["cms_term_counts"] = _cms_oracle()
+
+
+def _crawl_traps_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.urls import (AUTHORITY_RE, PATH_RE,
+                                                   QUERY_RE, TRAP_HEX_RE,
+                                                   TRAP_NUM_RE,
+                                                   TRAP_QNAME_RE)
+    return f"""
+    WITH urls AS (
+      SELECT 'https://t' || (doc_id % 3) || '.example.org' ||
+        CASE
+          WHEN doc_id % 3 = 0 THEN
+            '/cal/2024/' || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+          WHEN doc_id % 3 = 1 THEN
+            '/view?sid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              || '&page=' || (doc_id % 9)
+          ELSE CASE WHEN doc_id % 2 = 0 THEN '/about' ELSE '/contact' END
+        END AS url
+      FROM documents
+      UNION ALL
+      SELECT 'https://t' || (doc_id % 3) || '.example.org/s/' ||
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS url
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    keyed AS (
+      SELECT
+        list_element(string_split(list_element(string_split(
+          lower(regexp_extract(url, '{AUTHORITY_RE}', 1)), '@'), -1),
+          ':'), 1) AS host,
+        (SELECT CASE WHEN p = '' THEN '/' ELSE p END FROM (
+           SELECT regexp_extract(url, '{PATH_RE}', 1) AS p)) AS path,
+        regexp_extract(url, '{QUERY_RE}', 1) AS q,
+        url
+      FROM urls
+    ),
+    tpl AS (
+      SELECT host,
+        regexp_replace(regexp_replace(path, '{TRAP_HEX_RE}', '{{H}}',
+                                      'g'),
+                       '{TRAP_NUM_RE}', '{{N}}', 'g') AS ptpl,
+        coalesce(array_to_string(list_sort(list_filter(
+          regexp_extract_all(q, '{TRAP_QNAME_RE}', 1),
+          p -> p <> '')), ','), '') AS qnames,
+        url
+      FROM keyed WHERE host <> ''
+    ),
+    grouped AS (
+      SELECT host,
+        CASE WHEN qnames = '' THEN ptpl
+             ELSE ptpl || '?' || qnames END AS template,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+      FROM tpl GROUP BY 1, 2
+    )
+    SELECT host, template, n_urls,
+      (template LIKE '%{{N}}%' OR template LIKE '%{{H}}%'
+       OR template LIKE '%?%') AS wildcarded,
+      ((template LIKE '%{{N}}%' OR template LIKE '%{{H}}%'
+        OR template LIKE '%?%') AND n_urls >= 20) AS is_trap
+    FROM grouped
+    ORDER BY host, template"""
+
+
+ORACLES["crawl_traps"] = _crawl_traps_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -414,3 +414,90 @@ def crawl_schedule(frontier: DataFrame, delays: DataFrame = None,
         (F.lit(True) if max_per_host is None
          else (F.col("rank") < int(max_per_host))).alias("scheduled"))
     return out
+
+
+# ---------- crawl-trap detection (URL-template explosion) ----------
+
+# path templating: long hex-ish ids first (session tokens, content
+# hashes — 8+ chars so ordinary words never match), then any digit
+# run. Replacement markers use {}-braces, which RFC 3986 excludes
+# from unencoded paths, so a marker can never collide with a literal
+# path that survives templating.
+TRAP_HEX_RE = r"[0-9a-f]{8,}"
+TRAP_NUM_RE = r"[0-9]+"
+# query param NAMES (values dropped — values are what explode):
+# a leading segment or an &-separated segment, up to '=' / '&' / end
+TRAP_QNAME_RE = r"(?:^|&)([^=&]+)"
+
+
+def url_template(url_col):
+    """Column: the URL's structural template — path with hex-ids and
+    digit runs collapsed to {H}/{N} markers plus the SORTED query
+    param names (values dropped). Two URLs share a template iff they
+    differ only in identifier values — the equivalence class a crawl
+    trap inflates."""
+    if isinstance(url_col, str):
+        url_col = F.col(url_col)
+    path = F.regexp_extract(url_col, PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tpl = F.regexp_replace(path, TRAP_HEX_RE, "{H}")
+    tpl = F.regexp_replace(tpl, TRAP_NUM_RE, "{N}")
+    q = F.regexp_extract(url_col, QUERY_RE, 1)
+    qnames = F.array_join(
+        F.array_sort(F.filter(
+            F.regexp_extract_all(q, F.lit(TRAP_QNAME_RE), 1),
+            lambda p: p != "")), ",")
+    return F.when(qnames == "", tpl) \
+            .otherwise(F.concat(tpl, F.lit("?"), qnames))
+
+
+def crawl_traps(df: DataFrame, url_col: str = "url",
+                min_urls: int = 20) -> DataFrame:
+    """Per-(host, template) URL-explosion detector — the frontier
+    gate against calendar pages, session-id labyrinths, and faceted-
+    search blowups (infinite URL spaces under one path shape; the
+    reference's analog is the per-source-shape batch accounting in
+    /root/reference/server/benchmark/core/metrics.py:63-205, which
+    likewise groups unbounded inputs by structural key before
+    counting).
+
+    A (host, template) group is a TRAP when it holds >= min_urls
+    distinct URLs AND the template actually generalized something
+    (contains a {N}/{H} marker or query params — a static page crawled
+    many times is re-crawl churn, not a trap).
+
+    Scale shape: distinct on (host, template, url) then ONE
+    partial-aggregated groupBy — two keyed exchanges, no window, no
+    driver state; output is template-universe-sized, never URL-sized.
+    Returns (host, template, n_urls, wildcarded, is_trap)."""
+    host = authority_host(F.col(url_col)).alias("host")
+    tpl = url_template(F.col(url_col)).alias("template")
+    base = (df.select(host, tpl, F.col(url_col).alias("_u"))
+            .where(F.col("host") != "")
+            .distinct())
+    wild = (F.col("template").contains("{N}")
+            | F.col("template").contains("{H}")
+            | F.col("template").contains("?"))
+    return (base.groupBy("host", "template")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+            .withColumn("wildcarded", wild)
+            .withColumn("is_trap",
+                        wild & (F.col("n_urls") >= int(min_urls))))
+
+
+def trap_hosts(traps: DataFrame, min_trap_frac: float = 0.5
+               ) -> DataFrame:
+    """Host rollup of crawl_traps: what fraction of a host's distinct
+    URLs sit inside trap templates; hosts above min_trap_frac get the
+    throttle flag a frontier scheduler consumes. Template-universe-
+    sized input, host-sized output, one groupBy."""
+    return (traps.groupBy("host")
+            .agg(F.sum("n_urls").cast("long").alias("n_urls"),
+                 F.sum(F.when(F.col("is_trap"), F.col("n_urls"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("n_trap_urls"))
+            .withColumn("trap_frac",
+                        F.round(F.col("n_trap_urls")
+                                / F.col("n_urls"), 6))
+            .withColumn("throttle",
+                        F.col("trap_frac") >= float(min_trap_frac)))

@@ -444,3 +444,71 @@ class TestCanonicalCollapse:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") <= 1
         assert "Window" not in plan
+
+
+class TestCrawlTraps:
+    def _df(self, spark, urls):
+        return spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def test_templates(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import url_template
+        df = self._df(spark, [
+            "https://h.ex/cal/2024/03/15",
+            "https://h.ex/s/deadbeef01",
+            "https://h.ex/about",
+            "https://h.ex/",
+            "https://h.ex/p?b=2&a=1&sid=xyz",
+            "https://h.ex/x?&=v",          # degenerate params
+        ])
+        got = [r["t"] for r in
+               df.select(url_template("url").alias("t")).collect()]
+        assert got[0] == "/cal/{N}/{N}/{N}"
+        assert got[1] == "/s/{H}"          # hex id, not digit runs
+        assert got[2] == "/about"
+        assert got[3] == "/"
+        assert got[4] == "/p?a,b,sid"      # sorted names, values gone
+        assert got[5] == "/x"              # nameless params drop whole
+
+    def test_trap_flagging(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_traps
+        urls = [f"https://t.ex/cal/2024/{m}/{d}"
+                for m in range(1, 6) for d in range(1, 6)]   # 25 urls
+        urls += ["https://t.ex/about", "https://t.ex/about",  # dupe
+                 "https://ok.ex/a/1", "https://ok.ex/a/2"]    # few
+        got = {(r["host"], r["template"]): r for r in
+               crawl_traps(self._df(spark, urls), min_urls=20).collect()}
+        trap = got[("t.ex", "/cal/{N}/{N}/{N}")]
+        assert trap["n_urls"] == 25 and trap["is_trap"]
+        about = got[("t.ex", "/about")]
+        assert about["n_urls"] == 1          # distinct folds the dupe
+        assert not about["wildcarded"] and not about["is_trap"]
+        small = got[("ok.ex", "/a/{N}")]
+        assert small["wildcarded"] and not small["is_trap"]
+
+    def test_static_explosion_not_trap(self, spark):
+        # many urls under one host but each its own literal template:
+        # no generalization -> no trap rows
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_traps
+        urls = [f"https://s.ex/page-x{'y' * (i % 3)}z{chr(97 + i % 26)}"
+                for i in range(30)]
+        traps = crawl_traps(self._df(spark, urls), min_urls=5).collect()
+        assert not any(r["is_trap"] for r in traps)
+
+    def test_host_rollup(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import (crawl_traps,
+                                                       trap_hosts)
+        urls = [f"https://t.ex/cal/2024/{i}" for i in range(30)]
+        urls += ["https://t.ex/about"]
+        hosts = {r["host"]: r for r in trap_hosts(
+            crawl_traps(self._df(spark, urls), min_urls=20),
+            min_trap_frac=0.5).collect()}
+        t = hosts["t.ex"]
+        assert t["n_urls"] == 31 and t["n_trap_urls"] == 30
+        assert t["throttle"]
+
+    def test_two_exchanges_no_window(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import crawl_traps
+        plan = (crawl_traps(self._df(spark, ["https://h.ex/a"]))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") <= 2
+        assert "Window" not in plan and "PythonUDF" not in plan
