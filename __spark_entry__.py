@@ -2540,6 +2540,26 @@ def q_crawl_traps(spark, sf_dir):
             .orderBy("host", "template"))
 
 
+def q_host_quality_prior(spark, sf_dir):
+    """Host-level quality prior (curation.host_quality_prior): per-doc
+    quality scores quantized to integer micro-units, summed per host
+    (hosts from doc_id arithmetic), shrunk toward the corpus mean with
+    pseudo-count m=20 — the host-reputation feature curation gates mix
+    in. One corpus groupBy (localCheckpoint-pinned so the global
+    aggregate reuses it), 1-row global broadcast. The DuckDB twin
+    replays the score formula, the micro quantization, the integer
+    sums, and the two final divisions in identical op order."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import host_quality_prior
+    from dxnn_ocr_cpp_spark.operators.textstats import quality_score
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        quality_score(F.col("text")).alias("quality_score"))
+    return host_quality_prior(docs, m=20).orderBy("host")
+
+
 CMS_TERMS = ("agg", "neverseen", "spark", "table", "window")
 CMS_DEPTH, CMS_WIDTH = 4, 512
 
@@ -2656,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    by test_oracle_parity.py, same compare as the driver) --
         "cms_term_counts": q_cms_term_counts,
         "crawl_traps": q_crawl_traps,
+        "host_quality_prior": q_host_quality_prior,
         "corpus_stats": q_corpus_stats,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "host_template_lines": q_host_template_lines,
@@ -5197,6 +5218,42 @@ def _crawl_traps_oracle() -> str:
 
 
 ORACLES["crawl_traps"] = _crawl_traps_oracle()
+
+# host prior: raw (un-rounded) score -> micro BIGINT -> integer sums;
+# the two final divisions mirror curation.host_quality_prior's op
+# order exactly (IEEE multiply is commutative, so Spark's rewrite of
+# m*x to x*m cannot diverge)
+ORACLES["host_quality_prior"] = f"""
+WITH f AS (
+  SELECT 'h' || (doc_id % 17) || '.example.org' AS host,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop
+  FROM documents),
+q AS (
+  SELECT host,
+         least(n_tokens / 20.0, 1.0)
+           * least(n_alpha / greatest(n_chars, 1)::DOUBLE * 1.25, 1.0)
+           * least(n_stop / greatest(n_tokens, 1)::DOUBLE * 4.0, 1.0)
+           AS score
+  FROM f),
+h AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(score * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS sum_q_micro
+  FROM q GROUP BY host),
+g AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+         CAST(sum(sum_q_micro) AS BIGINT) AS gs FROM h)
+SELECT host, n_docs, sum_q_micro,
+       round(((CAST(sum_q_micro AS DOUBLE)
+               + (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) * 20.0)
+              / CAST(n_docs + 20 AS DOUBLE)) / 1000000.0, 6) AS prior
+FROM h CROSS JOIN g
+ORDER BY host"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -776,3 +776,57 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     applied = F.coalesce(repaired != c, F.lit(False))
     return (df.withColumn(out_col, repaired)
               .withColumn(f"{out_col}_applied", applied))
+
+
+# ---------- host-level quality prior ----------
+
+def host_quality_prior(df: DataFrame, host_col: str = "host",
+                       score_col: str = "quality_score",
+                       m: int = 20, micro: int = 1_000_000
+                       ) -> DataFrame:
+    """Bayesian-smoothed host reputation from per-doc quality scores —
+    the host-level prior web curation pipelines mix into per-doc
+    gates (a page on a consistently good host survives a borderline
+    score; one on a spam farm doesn't). Shrinks small hosts toward
+    the corpus mean: prior = (sum + m*mean) / (n + m), the standard
+    additive-smoothing estimator with pseudo-count m.
+
+    Exactness discipline (dsir.py micro-nat rule): per-doc scores are
+    quantized to integer micro-units BEFORE any aggregation, so both
+    the per-host and the global sums are order-independent integer
+    arithmetic; the only float ops are the final two divisions,
+    identical in op order in the DuckDB twin.
+
+    Scale shape: ONE partial-aggregated groupBy(host) (host-sized
+    output, ~10^8 rows at web scale vs 10^12 docs — the
+    linkgraph.host_pagerank argument), then a 1-row global aggregate
+    broadcast back via crossJoin. Zero windows, zero Python.
+    Returns (host, n_docs, sum_q_micro, prior)."""
+    q_micro = F.round(F.col(score_col) * micro, 0).cast("long")
+    # host-sized; localCheckpoint (lazy) pins it so the global
+    # aggregate below reuses the ONE corpus pass instead of Catalyst
+    # duplicating the whole groupBy subtree (= a second corpus scan)
+    per_host = (df.groupBy(F.col(host_col).alias("host"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum(q_micro).cast("long").alias("sum_q_micro"))
+                .localCheckpoint(eager=False))
+    glob = per_host.agg(F.sum("n_docs").cast("long").alias("_gn"),
+                        F.sum("sum_q_micro").cast("long").alias("_gs"))
+    prior = F.round(
+        (F.col("sum_q_micro") + m * (F.col("_gs") / F.col("_gn")))
+        / (F.col("n_docs") + m) / micro, 6)
+    return (per_host.crossJoin(F.broadcast(glob))
+            .select("host", "n_docs", "sum_q_micro",
+                    prior.alias("prior")))
+
+
+def with_host_prior(df: DataFrame, priors: DataFrame,
+                    host_col: str = "host") -> DataFrame:
+    """Join the host prior back onto the corpus as a per-doc feature:
+    priors is host-sized -> BROADCAST, corpus never shuffles. Hosts
+    absent from the prior table (new hosts mid-crawl) read NULL —
+    callers decide the cold-start policy, we don't invent one."""
+    p = priors.select(F.col("host").alias("_ph"), "prior")
+    return (df.join(F.broadcast(p), df[host_col] == F.col("_ph"),
+                    "left")
+            .drop("_ph"))

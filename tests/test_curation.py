@@ -504,3 +504,67 @@ class TestFixMojibake:
         if before in (None, "false"):
             with pytest.raises(Exception):
                 strict.collect()
+
+
+class TestHostQualityPrior:
+    def _docs(self, spark):
+        rows = []
+        # h-good: 10 docs at score 0.9; h-bad: 10 at 0.1;
+        # h-tiny: 1 doc at 1.0 (must shrink hard toward the mean)
+        for i in range(10):
+            rows.append(("h-good", 0.9))
+            rows.append(("h-bad", 0.1))
+        rows.append(("h-tiny", 1.0))
+        return spark.createDataFrame(rows,
+                                     "host string, quality_score double")
+
+    def test_shrinkage(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            host_quality_prior
+        got = {r["host"]: r for r in
+               host_quality_prior(self._docs(spark), m=20).collect()}
+        # corpus mean = (9 + 1 + 1) / 21 micro-exact
+        mean = (10 * 900000 + 10 * 100000 + 1000000) / 21 / 1e6
+        assert got["h-good"]["n_docs"] == 10
+        assert got["h-good"]["sum_q_micro"] == 9_000_000
+        # tiny host lands close to the mean, not close to 1.0
+        assert abs(got["h-tiny"]["prior"] - mean) < 0.03
+        # good host stays above the mean, bad below, both shrunk
+        assert mean < got["h-good"]["prior"] < 0.9
+        assert 0.1 < got["h-bad"]["prior"] < mean
+
+    def test_order_invariance(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            host_quality_prior
+        d = self._docs(spark)
+        a = {(r["host"], r["prior"]) for r in
+             host_quality_prior(d.repartition(1), m=20).collect()}
+        b = {(r["host"], r["prior"]) for r in
+             host_quality_prior(d.repartition(7), m=20).collect()}
+        assert a == b
+
+    def test_join_back_broadcast(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import (
+            host_quality_prior, with_host_prior)
+        d = self._docs(spark)
+        pri = host_quality_prior(d, m=20)
+        out = with_host_prior(
+            d.unionByName(spark.createDataFrame(
+                [("h-new", 0.5)], d.schema)), pri)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        rows = {r["host"]: r["prior"] for r in out.collect()}
+        assert rows["h-new"] is None          # cold start stays NULL
+        assert rows["h-good"] is not None
+
+    def test_plan_one_corpus_exchange(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            host_quality_prior
+        plan = (host_quality_prior(self._docs(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        # the lazy localCheckpoint pins per_host, so the corpus-side
+        # groupBy appears ONCE (one scan); the global agg reads the
+        # checkpointed host-sized RDD, not the corpus
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert plan.count("Scan ExistingRDD") <= 2  # checkpoint reuse
+        assert "Window" not in plan and "PythonUDF" not in plan
