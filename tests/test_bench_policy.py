@@ -71,7 +71,7 @@ class TestWindowUnstable:
         w["local[8]"]["docs_per_sec"] = 5.0  # below local[2]'s 10.0
         key = {"corpus": "c", "levels": [2, 8],
                "code": bench._package_code_digest(),
-               "host": platform.node()}
+               "host": platform.node(), "pinned": bench.PIN_CPUS}
         (tmp_path / "s.json").write_text(
             _json.dumps({"window_key": key, **w}))
         bad = TestStableWindowPolicy()._window(0.7, 0.97, unstable=True)
@@ -138,9 +138,26 @@ class TestStableWindowPolicy:
         poisoned = self._window(1.0508, 0.9541, unstable=False)
         key = {"corpus": "corpusA", "levels": list(self.LEVELS),
                "code": bench._package_code_digest(),
-               "host": platform.node()}
+               "host": platform.node(), "pinned": bench.PIN_CPUS}
         (tmp_path / "stable_2_8.json").write_text(
             json.dumps({"window_key": key, **poisoned}))
+        bad = self._window(0.70, 0.97, unstable=True)
+        out = bench.stable_window_policy(bad, self.LEVELS, "corpusA")
+        assert out["scaling_efficiency"] == 0.70  # verbatim, no swap
+
+    def test_unpinned_cache_not_borrowed_for_pinned_run(
+            self, tmp_path, monkeypatch):
+        # methodology marker: a stable window measured WITHOUT cpuset
+        # pinning has a differently-borrowed lo-leg denominator and
+        # must never substitute for a pinned run (or vice versa)
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+        monkeypatch.setattr(bench, "PIN_CPUS", False)
+        good = self._window(0.95, 0.97, unstable=False)
+        bench.stable_window_policy(good, self.LEVELS, "corpusA")
+        monkeypatch.setattr(bench, "PIN_CPUS", True)
         bad = self._window(0.70, 0.97, unstable=True)
         out = bench.stable_window_policy(bad, self.LEVELS, "corpusA")
         assert out["scaling_efficiency"] == 0.70  # verbatim, no swap
