@@ -234,6 +234,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                       F.col("b").cast("long").alias("b"), "jaccard")
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric word-3-gram containment pairs (src >=50% contained
+    in dst) — the aggregator/quotation redundancy symmetric Jaccard
+    misses; reuses the same df-capped inverted index."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import containment_pairs
+    d = _t(spark, sf_dir, "documents")
+    out = containment_pairs(d, threshold=0.5)
+    return out.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"),
+                      "containment")
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (verified by exact Jaccard).
     Probabilistic candidate recall -> no SQL oracle (rows-only check)."""
@@ -1961,6 +1974,28 @@ def q_host_pagerank(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_host_trustrank(spark, sf_dir):
+    """Seed-personalized PageRank (TrustRank, VLDB'04) over the
+    harvested host graph — the spam-demotion companion of
+    host_pagerank: trust mass re-enters only at a curated seed set,
+    so link farms with no trusted in-path score exactly zero however
+    densely they interlink. Seeds here: the 3 lexicographically-first
+    hosts of the graph (deterministic, oracle-replayable). The DuckDB
+    oracle unrolls the SAME 3 iterations as chained CTEs
+    (linkgraph.trustrank_oracle_sql)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.linkgraph import (host_edges,
+                                                        host_trustrank)
+    edges = host_edges(_linky_docs(spark, sf_dir))
+    nodes = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    seeds = nodes.orderBy("host").limit(3)
+    return (host_trustrank(edges, seeds, damping=0.85, iters=3)
+            .select("host", F.round("trust", 6).alias("trust"))
+            .orderBy("host"))
+
+
 def q_dataset_mix(spark, sf_dir):
     """Domain-weighted dataset mixing (operators/mixing.py): compose a
     training corpus to TARGET shares (web 50 / code 30 / reference 20)
@@ -2674,6 +2709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window (first 50) ends here ----
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
+        "containment_pairs": q_containment_pairs,
+        "host_trustrank": q_host_trustrank,
         "cms_term_counts": q_cms_term_counts,
         "crawl_traps": q_crawl_traps,
         "host_quality_prior": q_host_quality_prior,
@@ -2912,6 +2949,21 @@ ORACLES: dict[str, str] = {
         WITH {_JACCARD_CTE}
         SELECT a, b, round(common / (na + nb - common), 6) AS jaccard
         FROM jpairs WHERE common / (na + nb - common) >= 0.4
+    """,
+    # same df-capped inverted index, read asymmetrically: each
+    # unordered intersection row yields its two directed containment
+    # readings |SRC∩DST| / |SRC| (the Spark side fans out via one
+    # inline explode; the oracle via UNION ALL — same rowset)
+    "containment_pairs": f"""
+        WITH {_JACCARD_CTE},
+        directed AS (
+          SELECT a AS src, b AS dst, common / na AS containment
+          FROM jpairs
+          UNION ALL
+          SELECT b, a, common / nb FROM jpairs)
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               round(containment, 6) AS containment
+        FROM directed WHERE containment >= 0.5
     """,
     # independent component closure: the recursive CTE enumerates every
     # (node, reachable node) pair and takes the min — O(comp_size^2)
@@ -4936,6 +4988,21 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["host_pagerank"] = _pagerank_oracle()
+
+
+def _trustrank_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.linkgraph import trustrank_oracle_sql
+    edges = f"SELECT * FROM ({_link_edges_sql()})"
+    seeds = (f"SELECT host FROM ("
+             f"SELECT DISTINCT u AS host FROM ({_link_edges_sql()}) "
+             f"UNION SELECT DISTINCT v FROM ({_link_edges_sql()})) "
+             f"ORDER BY host LIMIT 3")
+    inner = trustrank_oracle_sql(edges, seeds, damping=0.85, iters=3)
+    return (f"SELECT host, round(trust, 6) AS trust FROM ({inner}) "
+            f"ORDER BY host")
+
+
+ORACLES["host_trustrank"] = _trustrank_oracle()
 
 # mirrors operators/mixing.py arithmetic IN THE SAME OP ORDER so the
 # doubles agree bit-for-bit: share = w / sum(w); feasible total =

@@ -170,6 +170,58 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      max_shingle_df: int = 1000) -> DataFrame:
+    """Exact asymmetric n-gram containment pairs: (src, dst,
+    containment) where containment = |SRC ∩ DST| / |SRC| >= threshold,
+    src != dst. Directed — both readings of an intersecting pair are
+    evaluated independently.
+
+    Symmetric Jaccard misses the aggregator/quotation shape: a page
+    that wholly CONTAINS another (wire story + commentary, scraped
+    snippet + site chrome) has low Jaccard when the container is much
+    larger, yet the contained page is pure redundancy against it.
+    Containment is Broder's asymmetric companion to resemblance
+    (SEQUENCES'97); the reference analog is the ancestor-containment
+    dedupe of overlapping detections (D13,
+    /root/reference/src/common/geometry.cpp:190-201) — "is this
+    region already covered by another" rather than "are these two
+    regions similar".
+
+    Physically it reuses ngram_jaccard_pairs' df-capped inverted
+    index unchanged — one window exchange serves the frequency cap,
+    both self-join sides (ReusedExchange), and the join's sort; the
+    unordered intersection row (a<b, common, na, nb) then fans out to
+    its two directed readings via one inline explode, so no second
+    aggregation and no union rescan of the index. Docs shorter than n
+    words carry the shared _gram_hashes fallback — one whole-doc
+    shingle — so they pair only with textually identical short docs.
+    When the df cap fires, common is understated for pairs sharing a
+    hot shingle (same conservative semantics as the Jaccard miner;
+    the oracle mirrors the cap bit-for-bit)."""
+    ex = exploded_hash_rows(df, id_col, text_col,
+                            lambda s: _gram_hashes(s, n))
+    exf = (ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+             .filter(F.col("df") <= F.lit(max_shingle_df)).drop("df"))
+    pairs = (exf.alias("x").join(exf.alias("y"), "g")
+             .filter(F.col("x.id") < F.col("y.id"))
+             .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+             .agg(F.count(F.lit(1)).cast("int").alias("common"),
+                  F.first(F.col("x.n")).alias("na"),
+                  F.first(F.col("y.n")).alias("nb")))
+    directed = pairs.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                 (F.col("common") / F.col("na")).alias("containment")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                 (F.col("common") / F.col("nb")).alias("containment")),
+    )).alias("p")).select("p.*")
+    return (directed.filter(F.col("containment") >= threshold)
+            .select("src", "dst",
+                    F.round("containment", 6).alias("containment")))
+
+
 # ---------- MinHash + LSH ----------
 
 # md5-family universal hashing: x(g) = int(md5(g)[:8 hex]) mod P, then

@@ -225,3 +225,105 @@ def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85,
             f" FROM r{k} JOIN norm ON r{k}.host = norm.u "
             f" GROUP BY norm.v) c ON nodes.host = c.host)")
     return ",\n".join(parts) + f"\nSELECT host, rank FROM r{iters}"
+
+
+def host_trustrank(edges: DataFrame, seeds: DataFrame,
+                   damping: float = 0.85, iters: int = 3,
+                   weight_col: str = "n_links") -> DataFrame:
+    """(host, trust) after `iters` rounds of seed-personalized
+    PageRank — TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): the spam-demotion companion of host_pagerank.
+
+    Same propagation as host_pagerank, different teleport vector: mass
+    re-enters ONLY at a curated trusted seed set S, so trust decays
+    with link distance from S and link farms that inflate raw
+    PageRank (no trusted in-paths) stay near zero:
+      trust_0(v)   = 1/|S| if v in S else 0
+      trust_k+1(v) = (1-d) * teleport(v) + d * sum over in-edges (u,v)
+                     of trust_k(u) * w(u,v) / out_weight(u)
+    Dangling mass is not redistributed — the host_pagerank convention,
+    keeping the operator exactly replayable as unrolled SQL CTEs
+    (trustrank_oracle_sql).
+
+    `seeds`: a (host) DataFrame. Real seed lists are 10^2-10^4 rows
+    (human-audited), so the seed flag rides a BROADCAST left-semi-style
+    join onto the node table; everything else is the host_pagerank
+    scale shape — out_weight aggregated once, one edges-to-ranks join
+    + re-aggregation per round, localCheckpoint lineage truncation,
+    the |S| count() the only driver scalar. Seeds absent from the
+    graph contribute nothing and are not ranked; raises if no seed
+    intersects the graph (an all-zero teleport has no fixed point).
+    """
+    e = (edges.select(F.col("src_host").alias("u"),
+                      F.col("dst_host").alias("v"),
+                      F.col(weight_col).cast("double").alias("w")))
+    out_w = e.groupBy("u").agg(F.sum("w").alias("ow"))
+    norm = (e.join(out_w, "u")
+            .select("u", "v", (F.col("w") / F.col("ow")).alias("share"))
+            .persist())
+    nodes = (e.select(F.col("u").alias("host"))
+             .union(e.select(F.col("v").alias("host")))
+             .distinct())
+    seed_col = seeds.columns[0]
+    flagged = (nodes.join(
+        F.broadcast(seeds.select(F.col(seed_col).alias("host"))
+                    .distinct().withColumn("is_seed", F.lit(True))),
+        "host", "left")
+        .select("host",
+                F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .persist())
+    ns = flagged.filter("is_seed").count()  # the only driver scalar
+    if ns == 0:
+        raise ValueError("host_trustrank: no seed host appears in the "
+                         "edge graph — teleport vector would be zero")
+    teleport = F.when(F.col("is_seed"), F.lit(1.0 / ns)) \
+        .otherwise(F.lit(0.0))
+    ranks = flagged.select("host", teleport.alias("trust"), "is_seed")
+    for _ in range(iters):
+        contrib = (ranks.join(norm, ranks["host"] == norm["u"])
+                   .groupBy(F.col("v").alias("host"))
+                   .agg(F.sum(F.col("trust") * F.col("share")).alias("c")))
+        ranks = (flagged.join(contrib, "host", "left")
+                 .select("host",
+                         (F.lit(1.0 - damping) * teleport
+                          + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                          ).alias("trust"),
+                         "is_seed")
+                 .localCheckpoint(eager=False))
+    return ranks.select("host", "trust")
+
+
+def trustrank_oracle_sql(edges_cte: str, seeds_cte: str,
+                         damping: float = 0.85, iters: int = 3) -> str:
+    """DuckDB SQL replaying host_trustrank over `edges_cte` (a CTE
+    body selecting (u, v, w)) and `seeds_cte` (a CTE body selecting
+    (host)) as `iters` unrolled CTEs. Returns a full query yielding
+    (host, trust); the caller rounds/orders. The float expression
+    mirrors the operator's op order: (1-d) * teleport + d * c."""
+    d = damping
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        f"seeds AS (SELECT DISTINCT host FROM ({seeds_cte}))",
+        "nodes AS (SELECT DISTINCT u AS host FROM e "
+        "UNION SELECT DISTINCT v FROM e)",
+        "flagged AS (SELECT nodes.host, seeds.host IS NOT NULL "
+        "AS is_seed FROM nodes LEFT JOIN seeds "
+        "ON nodes.host = seeds.host)",
+        "ns AS (SELECT count(*)::DOUBLE AS n FROM flagged "
+        "WHERE is_seed)",
+        "norm AS (SELECT u, v, w / sum(w) OVER (PARTITION BY u) "
+        "AS share FROM e)",
+        "t0 AS (SELECT host, CASE WHEN is_seed THEN 1.0 / ns.n "
+        "ELSE 0.0 END AS trust FROM flagged, ns)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"t{k + 1} AS (SELECT flagged.host, "
+            f"(1.0 - {d}) * (CASE WHEN flagged.is_seed "
+            f"THEN 1.0 / ns.n ELSE 0.0 END) "
+            f"+ {d} * coalesce(c.c, 0.0) AS trust "
+            f"FROM flagged CROSS JOIN ns LEFT JOIN "
+            f"(SELECT norm.v AS host, sum(t{k}.trust * norm.share) AS c "
+            f" FROM t{k} JOIN norm ON t{k}.host = norm.u "
+            f" GROUP BY norm.v) c ON flagged.host = c.host)")
+    return ",\n".join(parts) + f"\nSELECT host, trust FROM t{iters}"

@@ -156,3 +156,91 @@ class TestAnchorTexts:
             .executedPlan().toString()
         assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def _reference_trustrank(edges, seeds, damping, iters):
+    """Sequential dict replay of host_trustrank's exact semantics."""
+    hosts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    ns = len([h for h in hosts if h in seeds])
+    out_w = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0.0) + w
+    tele = {h: (1.0 / ns if h in seeds else 0.0) for h in hosts}
+    t = dict(tele)
+    for _ in range(iters):
+        contrib = {h: 0.0 for h in hosts}
+        for u, v, w in edges:
+            contrib[v] += t[u] * (w / out_w[u])
+        t = {h: (1 - damping) * tele[h] + damping * contrib[h]
+             for h in hosts}
+    return t
+
+
+class TestTrustRank:
+    # a trusted neighborhood and a densely interlinked spam farm with
+    # no trusted in-path — the shape TrustRank exists to separate
+    EDGES = [("seed.org", "good.com", 2.0),
+             ("good.com", "seed.org", 1.0),
+             ("good.com", "deep.com", 1.0),
+             ("seed.org", "deep.com", 1.0),
+             ("spamhub.biz", "spam1.biz", 5.0),
+             ("spam1.biz", "spamhub.biz", 5.0),
+             ("spamhub.biz", "spam2.biz", 5.0),
+             ("spam2.biz", "spamhub.biz", 5.0)]
+    SEEDS = ["seed.org"]
+
+    def _spark_trust(self, spark, iters=4):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import host_trustrank
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        s = spark.createDataFrame([(h,) for h in self.SEEDS],
+                                  "host string")
+        return {r["host"]: r["trust"]
+                for r in host_trustrank(e, s, 0.85, iters).collect()}
+
+    def test_matches_sequential_reference(self, spark):
+        got = self._spark_trust(spark)
+        want = _reference_trustrank(self.EDGES, set(self.SEEDS), 0.85, 4)
+        assert set(got) == set(want)
+        for h in want:
+            assert abs(got[h] - want[h]) < 1e-12, h
+
+    def test_spam_farm_gets_exactly_zero(self, spark):
+        got = self._spark_trust(spark)
+        # no trusted in-path -> no mass ever arrives (exact 0.0, not
+        # just small): the property raw PageRank cannot provide
+        assert got["spamhub.biz"] == 0.0
+        assert got["spam1.biz"] == 0.0
+        assert got["seed.org"] > 0 and got["good.com"] > 0
+        assert got["deep.com"] > 0  # two hops from the seed
+
+    def test_contrast_with_raw_pagerank(self, spark):
+        # the spam hub WINS raw PageRank on this graph (heaviest
+        # in-links) yet scores zero trust
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        pr = {r["host"]: r["rank"]
+              for r in host_pagerank(e, 0.85, 4).collect()}
+        tr = self._spark_trust(spark)
+        assert pr["spamhub.biz"] > pr["good.com"]
+        assert tr["spamhub.biz"] < tr["good.com"]
+
+    def test_no_seed_in_graph_raises(self, spark):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import host_trustrank
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        s = spark.createDataFrame([("absent.example",)], "host string")
+        with pytest.raises(ValueError, match="no seed host"):
+            host_trustrank(e, s)
+
+    def test_no_cartesian_or_python(self, spark):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import host_trustrank
+        e = spark.createDataFrame(
+            self.EDGES, "src_host string, dst_host string, n_links double")
+        s = spark.createDataFrame([(h,) for h in self.SEEDS],
+                                  "host string")
+        plan = host_trustrank(e, s, iters=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "ArrowEval", "BatchEvalPython"):
+            assert bad not in plan
