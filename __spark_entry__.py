@@ -37,7 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
     _prep(spark)
     from dxnn_ocr_cpp_spark.corpus import generate_documents_df
     from dxnn_ocr_cpp_spark.pipeline import extract
-    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    # few generation partitions: a 200-doc fixture across 32 tasks
+    # pays ~6s of python-worker spin-up for ~6 docs/task (measured);
+    # 4 tasks amortize the Arrow round-trip and leave output identical
+    # (content is a pure function of doc id)
+    docs = generate_documents_df(spark, N_DOCS_ENTRY, partitions=4)
     return extract(docs)
 
 
@@ -1451,7 +1455,11 @@ def q_extract_corpus(spark, sf_dir):
     _prep(spark)
     from dxnn_ocr_cpp_spark.corpus import generate_documents_df
     from dxnn_ocr_cpp_spark.pipeline import extract
-    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    # few generation partitions: a 200-doc fixture across 32 tasks
+    # pays ~6s of python-worker spin-up for ~6 docs/task (measured);
+    # 4 tasks amortize the Arrow round-trip and leave output identical
+    # (content is a pure function of doc id)
+    docs = generate_documents_df(spark, N_DOCS_ENTRY, partitions=4)
     return (extract(docs)
             .select("url",
                     F.col("n_spans").cast("long").alias("n_spans"),
@@ -1475,7 +1483,11 @@ def q_extract_markdown(spark, sf_dir):
     _prep(spark)
     from dxnn_ocr_cpp_spark.corpus import generate_documents_df
     from dxnn_ocr_cpp_spark.pipeline import extract
-    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    # few generation partitions: a 200-doc fixture across 32 tasks
+    # pays ~6s of python-worker spin-up for ~6 docs/task (measured);
+    # 4 tasks amortize the Arrow round-trip and leave output identical
+    # (content is a pure function of doc id)
+    docs = generate_documents_df(spark, N_DOCS_ENTRY, partitions=4)
     paras = F.split("markdown", "\n\n")
     return (extract(docs, markdown=True)
             .select("url",
@@ -2442,7 +2454,11 @@ def q_corpus_to_shards(spark, sf_dir):
     from dxnn_ocr_cpp_spark.operators.shards import pack_shards
     from dxnn_ocr_cpp_spark.operators.textstats import token_count
     from dxnn_ocr_cpp_spark.pipeline import extract
-    docs = generate_documents_df(spark, N_DOCS_ENTRY)
+    # few generation partitions: a 200-doc fixture across 32 tasks
+    # pays ~6s of python-worker spin-up for ~6 docs/task (measured);
+    # 4 tasks amortize the Arrow round-trip and leave output identical
+    # (content is a pure function of doc id)
+    docs = generate_documents_df(spark, N_DOCS_ENTRY, partitions=4)
     ext = extract(docs)
     kept = (ext.select(
                 "url",
