@@ -1080,6 +1080,19 @@ def main() -> None:
         run_modes(sys.argv[2].split(",") if len(sys.argv) > 2
                   else list(MODES))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--queries-only":
+        # iteration aid, the inverse of SPARK_GRAFT_SKIP_QUERIES:
+        # refresh the per-query table reusing the committed STABLE
+        # scaling windows (each labeled with its own measured_at) —
+        # a query-side change doesn't invalidate a scaling window,
+        # the two phases measure disjoint code paths
+        extraction = json.loads(
+            stable_cache_path(SCALING_LEVELS).read_text())
+        wide_cache = stable_cache_path(WIDE_LEVELS)
+        wide = (json.loads(wide_cache.read_text())
+                if RUN_WIDE and wide_cache.exists() else None)
+        _finish(extraction, wide, run_queries())
+        return
     ensure_corpus(CORPUS_CACHE, SCALE_DOCS)
     extraction = run_scaling(CORPUS_CACHE, SCALING_LEVELS)
     extraction = stable_window_policy(extraction, SCALING_LEVELS,
@@ -1099,6 +1112,10 @@ def main() -> None:
                    if prior.exists() else {})
     else:
         timings = run_queries()
+    _finish(extraction, wide, timings)
+
+
+def _finish(extraction: dict, wide: dict | None, timings: dict) -> None:
     payload = {
         "metric": "bench_total_wall",
         "value": round(sum(timings.values()), 3),
