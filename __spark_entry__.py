@@ -251,6 +251,37 @@ def q_containment_pairs(spark, sf_dir):
                       "containment")
 
 
+def q_containment_keeplist(spark, sf_dir):
+    """Aggregator/subset-page removal composed on containment_pairs:
+    drop any doc whose shingle set is >=90% contained in a LONGER doc
+    (char-length ties break to the smaller doc_id, so mutual-
+    containment groups keep exactly one member). Returns (doc_id,
+    keep) for every document — the asymmetric-redundancy keep-list a
+    near-dup pass cannot produce. Pair table is result-sized; the
+    length lookup is a 2-column projection; every join keyed."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import containment_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(d, threshold=0.9)
+    lens = d.select(F.col("doc_id").cast("long").alias("id"),
+                    F.length("text").alias("len"))
+    dropped = (pairs
+               .join(lens.select(F.col("id").alias("src"),
+                                 F.col("len").alias("sl")), "src")
+               .join(lens.select(F.col("id").alias("dst"),
+                                 F.col("len").alias("dl")), "dst")
+               .filter((F.col("dl") > F.col("sl"))
+                       | ((F.col("dl") == F.col("sl"))
+                          & (F.col("dst") < F.col("src"))))
+               .select(F.col("src").alias("id")).distinct()
+               .withColumn("dropped", F.lit(True)))
+    return (lens.select("id").join(dropped, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.coalesce("dropped", F.lit(False)).alias("dropped"))
+            .select("doc_id", (~F.col("dropped")).alias("keep"))
+            .orderBy("doc_id"))
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (verified by exact Jaccard).
     Probabilistic candidate recall -> no SQL oracle (rows-only check)."""
@@ -2726,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: oracle-backed but past the window (pytest-pinned
         #    by test_oracle_parity.py, same compare as the driver) --
         "containment_pairs": q_containment_pairs,
+        "containment_keeplist": q_containment_keeplist,
         "host_trustrank": q_host_trustrank,
         "cms_term_counts": q_cms_term_counts,
         "crawl_traps": q_crawl_traps,
@@ -2980,6 +3012,29 @@ ORACLES: dict[str, str] = {
         SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
                round(containment, 6) AS containment
         FROM directed WHERE containment >= 0.5
+    """,
+    # composed keep-list: EXISTS a longer (or equal-length,
+    # smaller-id) container at containment >= 0.9 -> dropped
+    "containment_keeplist": f"""
+        WITH {_JACCARD_CTE},
+        directed AS (
+          SELECT a AS src, b AS dst, common / na AS c FROM jpairs
+          UNION ALL
+          SELECT b, a, common / nb FROM jpairs),
+        lens AS (SELECT doc_id AS id, length(text) AS len
+                 FROM documents),
+        dropped AS (
+          SELECT DISTINCT d.src AS id
+          FROM directed d
+          JOIN lens ls ON d.src = ls.id
+          JOIN lens ld ON d.dst = ld.id
+          WHERE d.c >= 0.9
+            AND (ld.len > ls.len
+                 OR (ld.len = ls.len AND d.dst < d.src)))
+        SELECT CAST(l.id AS BIGINT) AS doc_id,
+               dropped.id IS NULL AS keep
+        FROM lens l LEFT JOIN dropped ON l.id = dropped.id
+        ORDER BY doc_id
     """,
     # independent component closure: the recursive CTE enumerates every
     # (node, reachable node) pair and takes the min — O(comp_size^2)

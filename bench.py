@@ -199,6 +199,9 @@ HEADLINE = [
     "audio_fp_pairs",
     "media_dedup_keeplist",
     "publish_dates",
+    "containment_pairs",
+    "containment_keeplist",
+    "host_trustrank",
 ]
 
 

@@ -232,3 +232,29 @@ class TestCompactLine:
             "extraction_wide": bench._ext_summary(wide, (8, 32)),
         }
         assert len(json.dumps(compact)) < 1500
+
+
+class TestQueriesOnly:
+    def test_reuses_cached_stable_windows(self, tmp_path, monkeypatch,
+                                          capsys):
+        import sys as _sys
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        monkeypatch.setattr(
+            bench, "stable_cache_path",
+            lambda levels: tmp_path / f"s_{levels[0]}_{levels[1]}.json")
+        w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
+        (tmp_path / "s_2_8.json").write_text(json.dumps(w))
+        # wide cache absent -> queries-only must cope without it
+        monkeypatch.setattr(bench, "SCALING_LEVELS", (2, 8))
+        monkeypatch.setattr(bench, "run_queries",
+                            lambda: {"q1": 1.25, "q2": 0.75})
+        monkeypatch.setattr(_sys, "argv", ["bench.py", "--queries-only"])
+        bench.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        d = json.loads(line)
+        assert d["value"] == 2.0
+        assert d["extraction"]["efficiency"] == 0.95
+        assert "extraction_wide" not in d
+        # report + detail written against the cached window
+        assert (tmp_path / "BENCH" / "bench_detail.json").exists()
+        assert "0.95" in (tmp_path / "BENCH" / "BASELINE.md").read_text()
