@@ -824,6 +824,20 @@ def write_report(payload: dict) -> None:
         "dataflow — a multi-executor cluster splits that JVM per "
         "executor.",
         "",
+        "Plumbing-ceiling cross-check "
+        "(`tools/plumbing_ceiling_probe.py`): the identical parquet "
+        "scan + Arrow round-trip with the kernel replaced by a "
+        "passthrough moves ~111k docs/s at local[8] and ~160k at "
+        "local[32] — 7-10x the full job at both widths — so the JVM "
+        "data plane is a minor additive cost (~10% of hi-leg wall), "
+        "NOT the wide-window bottleneck. Stacking the three probes, "
+        "the wide window decomposes as: measured per-busy-core 0.56 "
+        "~= kernel memory-bandwidth ceiling 0.78 x in-box contention "
+        "~0.72 (JVM data plane, 32 Python workers, and GC sharing "
+        "one 32-vCPU box) — the second factor is exactly what a "
+        "multi-executor cluster removes with per-executor cgroups "
+        "and heaps.",
+        "",
         "Reference precedent: DXNN-OCR card scaling 7.40 -> 14.73 -> "
         "21.96 FPS across 1/2/3 NPUs = 0.995/0.989 efficiency "
         "(/root/reference/README.md:167-172). Same embarrassingly "
