@@ -103,15 +103,30 @@ def _corpus_version() -> int:
     return CORPUS_VERSION
 
 
+# the import closure of the measured job (session build -> corpus read
+# -> pipeline.extract): the scaling windows and the cached
+# total-chars count depend on exactly these files. Keying caches on
+# this closure instead of the whole package means adding a curation
+# operator (dedup.py, linkgraph.py, ...) doesn't throw away a
+# measured-stable scaling window that never executed that code.
+_EXTRACTION_CLOSURE = [
+    "pipeline.py", "config.py", "htmlseg.py", "schemas.py",
+    "partitioning.py", "session.py", "corpus.py",
+    "operators/segment.py", "operators/score.py", "operators/emit.py",
+]
+
+
 def _package_code_digest() -> str:
-    """Digest of the engine's source files — cache key for anything
-    derived from extraction OUTPUT (total chars), which depends on the
-    code as much as on the corpus."""
+    """Digest of the extraction hot path's import closure — cache key
+    for anything derived from extraction OUTPUT (total chars, scaling
+    windows), which depends on this code as much as on the corpus."""
     import hashlib
     h = hashlib.blake2b(digest_size=8)
     pkg = REPO / "dxnn_ocr_cpp_spark"
-    for p in sorted(pkg.rglob("*.py")):
-        h.update(p.read_bytes())
+    for rel in _EXTRACTION_CLOSURE:
+        p = pkg / rel
+        h.update(rel.encode())
+        h.update(p.read_bytes() if p.exists() else b"<missing>")
     return h.hexdigest()
 
 

@@ -258,3 +258,34 @@ class TestQueriesOnly:
         # report + detail written against the cached window
         assert (tmp_path / "BENCH" / "bench_detail.json").exists()
         assert "0.95" in (tmp_path / "BENCH" / "BASELINE.md").read_text()
+
+
+class TestCodeDigestClosure:
+    def test_insensitive_to_non_extraction_modules(self, monkeypatch,
+                                                   tmp_path):
+        # copy the package tree, touch a curation-side file: digest
+        # must NOT change (a dedup operator edit must not invalidate a
+        # measured-stable scaling window that never executed it)
+        import shutil
+        pkg = tmp_path / "dxnn_ocr_cpp_spark"
+        shutil.copytree(bench.REPO / "dxnn_ocr_cpp_spark", pkg)
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        before = bench._package_code_digest()
+        (pkg / "operators" / "dedup.py").write_text("# changed\n")
+        assert bench._package_code_digest() == before
+
+    def test_sensitive_to_hot_path(self, monkeypatch, tmp_path):
+        import shutil
+        pkg = tmp_path / "dxnn_ocr_cpp_spark"
+        shutil.copytree(bench.REPO / "dxnn_ocr_cpp_spark", pkg)
+        monkeypatch.setattr(bench, "REPO", tmp_path)
+        before = bench._package_code_digest()
+        with open(pkg / "htmlseg.py", "a") as f:
+            f.write("\n# semantics change\n")
+        assert bench._package_code_digest() != before
+
+    def test_closure_files_all_exist(self):
+        pkg = bench.REPO / "dxnn_ocr_cpp_spark"
+        missing = [r for r in bench._EXTRACTION_CLOSURE
+                   if not (pkg / r).exists()]
+        assert not missing, missing
