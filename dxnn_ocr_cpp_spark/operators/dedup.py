@@ -483,8 +483,13 @@ def incremental_dedup(new_docs: DataFrame, index: tuple,
     index_bands, index_sh, meta = index
     n, num_perm = int(meta["n"]), int(meta["num_perm"])
     bands, hash_family = int(meta["bands"]), meta["hash_family"]
+    # persisted: the batch signature map is the batch's costliest
+    # narrow stage and BOTH stages consume it (stage 1 band-joins the
+    # index, stage 2 pair-mines the survivors) — materializing once
+    # halves the md5/shingle work; batch-sized by design (the corpus
+    # side lives in the persisted index)
     sig = minhash_signature_table(new_docs, id_col, text_col, n,
-                                  num_perm, hash_family)
+                                  num_perm, hash_family).persist()
     nb = (sig.select("id", "sh",
                      _band_struct_explode(num_perm, bands, hash_family))
           .select("id", "sh", "bb.band", "bb.bucket"))
@@ -510,12 +515,16 @@ def incremental_dedup(new_docs: DataFrame, index: tuple,
                     F.col("m.jaccard").alias("jaccard")))
     survivors = new_docs.join(
         best.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    # survivors' signatures come from the persisted stage-1 table
+    # (anti-join on the corpus-dropped ids) instead of re-shingling
+    # and re-hashing ~the whole batch a second time
+    surv_sig = sig.join(best.select("id"), "id", "left_anti")
     pairs = minhash_lsh_pairs(survivors, id_col=id_col,
                               text_col=text_col, n=n,
                               num_perm=num_perm, bands=bands,
                               threshold=threshold, carry=carry,
                               approx_docs=approx_docs,
-                              hash_family=hash_family)
+                              hash_family=hash_family, sig=surv_sig)
     from dxnn_ocr_cpp_spark.operators.cc import connected_components
     comp = (connected_components(pairs.select("a", "b"), "a", "b")
             .select(F.col("node").alias("id"),
@@ -543,9 +552,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       carry: str = "auto",
                       ride_along_max_docs: int = 1_000_000,
                       approx_docs: int | None = None,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      sig: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH; optionally
     verified with exact Jaccard on the shingle sets.
+
+    sig — optional precomputed minhash_signature_table output
+    (id, sh, sig) for EXACTLY the documents in df, same (n, num_perm,
+    hash_family). The signature build is the pair miner's costliest
+    narrow map; a caller that already built signatures for these docs
+    (incremental_dedup stage 1 did, for its index band-join) passes
+    them instead of re-shingling and re-hashing the corpus.
 
     Scale shape: signature build is a narrow map; the only shuffle is
     the band-bucket groupBy; pairs emerge bucket-locally. With
@@ -588,8 +605,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if carry == "auto":
         n_docs = approx_docs if approx_docs is not None else df.count()
         carry = "ride_along" if n_docs <= ride_along_max_docs else "join_back"
-    sig = minhash_signature_table(df, id_col, text_col, n, num_perm,
-                                  hash_family)
+    if sig is None:
+        sig = minhash_signature_table(df, id_col, text_col, n, num_perm,
+                                      hash_family)
     sh = sig.select("id", "sh")
 
     def band_structs():
