@@ -506,13 +506,17 @@ def incremental_dedup(new_docs: DataFrame, index: tuple,
     matched = (ver.withColumn("jaccard", F.round(jac, 6))
                .filter(jac >= threshold))
     # best corpus match per new doc: max rounded jaccard, ties to the
-    # smaller corpus id (struct max is lexicographic)
+    # smallest corpus id — min_by over the (-jaccard, cid) struct
+    # (lexicographic) rather than a negated-id struct max, so cid may
+    # be ANY orderable type (numeric doc ids, url strings); ordering
+    # keys are unique per (id, cid) so min_by is deterministic
     best = (matched.groupBy("id")
-            .agg(F.max(F.struct(F.col("jaccard"),
-                                (-F.col("cid")).alias("neg"),
-                                F.col("cid"))).alias("m"))
-            .select("id", F.col("m.cid").alias("dup_of"),
-                    F.col("m.jaccard").alias("jaccard")))
+            .agg(F.max("jaccard").alias("jaccard"),
+                 F.min_by(
+                     "cid",
+                     F.struct((-F.col("jaccard")).alias("nj"),
+                              F.col("cid"))).alias("dup_of"))
+            .select("id", "dup_of", "jaccard"))
     survivors = new_docs.join(
         best.select(F.col("id").alias(id_col)), id_col, "left_anti")
     # survivors' signatures come from the persisted stage-1 table

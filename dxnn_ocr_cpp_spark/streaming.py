@@ -159,3 +159,53 @@ def stream_dedup_urls(docs_stream: DataFrame,
             .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
             .withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["url"]))
+
+
+def stream_incremental_dedup(docs_stream: DataFrame, index_path: str,
+                             out_path: str, checkpoint_path: str,
+                             threshold: float = 0.5,
+                             cfg: ExtractionConfig = DEFAULT_CONFIG):
+    """Per-micro-batch near-dup gate against a PERSISTED MinHash index
+    (operators/dedup.write_minhash_index) — the continuous-crawl
+    composition: each arriving batch of raw pages is EXTRACTED, then
+    deduped against the frozen corpus snapshot and within itself
+    (operators/dedup.incremental_dedup), without ever rescanning the
+    corpus. Keyed by url (the stream's natural key; the dedup
+    operator's ids are type-generic).
+
+    Snapshot semantics, stated plainly: the index is read per batch
+    from disk and NOT updated by the stream, so batches do not dedup
+    against earlier stream batches — the periodic batch job
+    republishes the index and the stream gates against the newest
+    snapshot (the standard snapshot-plus-stream split; exactly the
+    contract q_incremental_dedup certifies in batch form).
+
+    Sink is idempotent on batch_id (each batch overwrites its own
+    batch=<id> directory) — the stream_extract discipline, so a replay
+    after a mid-write crash rewrites instead of duplicating.
+    Output rows per batch: (url, dup_of, jaccard, keep).
+    """
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _dedup_batch(batch_df, batch_id, index_path, out_path,
+                     threshold, cfg)
+
+    return (docs_stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True))
+
+
+def _dedup_batch(batch_df: DataFrame, batch_id: int, index_path: str,
+                 out_path: str, threshold: float,
+                 cfg: ExtractionConfig) -> None:
+    """One micro-batch of the stream_incremental_dedup sink
+    (module-level so it is unit-testable without driving a stream)."""
+    from dxnn_ocr_cpp_spark.operators.dedup import (incremental_dedup,
+                                                    read_minhash_index)
+    index = read_minhash_index(batch_df.sparkSession, index_path)
+    texts = extract(batch_df, cfg).select("url", "text")
+    out = incremental_dedup(texts, index, id_col="url",
+                            text_col="text", threshold=threshold,
+                            carry="ride_along")
+    out.withColumnRenamed("id", "url").write.mode("overwrite") \
+       .parquet(f"{out_path}/decisions/batch={batch_id}")

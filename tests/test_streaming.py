@@ -139,3 +139,77 @@ def test_stream_dedup_urls(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 30
     assert got.select("url").distinct().count() == 30
+
+
+class TestStreamIncrementalDedup:
+    """Continuous-crawl gate: per-micro-batch extract -> dedup against
+    a persisted MinHash index snapshot, url-keyed, idempotent sink."""
+
+    def test_batches_gate_against_index_and_themselves(self, spark,
+                                                       tmp_path):
+        from dxnn_ocr_cpp_spark.operators.dedup import (
+            incremental_dedup, read_minhash_index, write_minhash_index)
+        from dxnn_ocr_cpp_spark.streaming import (
+            read_documents_stream, stream_incremental_dedup)
+
+        corpus_docs = generate_documents_df(spark, 30, partitions=2)
+        corpus = extract(corpus_docs).select("url", "text")
+        idx = str(tmp_path / "mhidx")
+        write_minhash_index(corpus, idx, id_col="url")
+
+        src = str(tmp_path / "stream_src")
+        # recrawls: corpus content under NEW urls -> must drop vs index
+        recrawl = (generate_documents_df(spark, 8, partitions=1)
+                   .withColumn("url", F.concat(F.lit("recrawl://"),
+                                               F.col("url"))))
+        # novel docs (ids 30..44): absent from the 30-doc index
+        all45 = generate_documents_df(spark, 45, partitions=1)
+        novel = all45.join(corpus_docs.select("url"), "url", "left_anti")
+        # within-batch duplicate: one novel doc under a second url
+        twin = (novel.orderBy("url").limit(1)
+                .withColumn("url", F.concat(F.lit("mirror://"),
+                                            F.col("url"))))
+        recrawl.repartition(1).write.mode("append").parquet(src)
+        novel.unionByName(twin).repartition(1) \
+             .write.mode("append").parquet(src)
+
+        out = str(tmp_path / "decisions")
+        q = stream_incremental_dedup(
+            read_documents_stream(spark, src, max_files_per_trigger=1),
+            idx, out, str(tmp_path / "ckpt")).start()
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(f"{out}/decisions") \
+            .select("url", "dup_of", "jaccard", "keep")
+        rows = {r["url"]: r for r in got.collect()}
+        assert len(rows) == 8 + 15 + 1
+        # every recrawl dropped against its corpus twin
+        for u, r in rows.items():
+            if u.startswith("recrawl://"):
+                assert not r["keep"], u
+                assert r["dup_of"] == u[len("recrawl://"):], u
+                assert r["jaccard"] == 1.0, u
+        # the mirror pair keeps exactly one member (min url wins)
+        mirror = [r for u, r in rows.items()
+                  if u.startswith("mirror://")][0]
+        partner = mirror["url"][len("mirror://"):]
+        assert mirror["keep"] != rows[partner]["keep"]
+        kept_one = mirror if mirror["keep"] else rows[partner]
+        assert kept_one["url"] == min(mirror["url"], partner)
+        # all other novel docs kept
+        others = [r for u, r in rows.items()
+                  if not u.startswith(("recrawl://", "mirror://"))
+                  and u != partner]
+        assert others and all(r["keep"] for r in others)
+
+        # stream/batch parity: replay each file through the batch
+        # operator -> identical decision rowsets
+        index = read_minhash_index(spark, idx)
+        for batch_src in (recrawl, novel.unionByName(twin)):
+            want = sorted(tuple(r) for r in incremental_dedup(
+                extract(batch_src).select("url", "text"), index,
+                id_col="url", text_col="text", threshold=0.5,
+                carry="ride_along").collect())
+            urls = {r["url"] for r in batch_src.select("url").collect()}
+            got_b = sorted(tuple(rows[u]) for u in urls)
+            assert got_b == want
