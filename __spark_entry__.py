@@ -2017,6 +2017,37 @@ def q_host_pagerank(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_compression_quality(spark, sf_dir):
+    """Compression-ratio quality signal
+    (textstats.with_compression_ratio) certified by planted classes:
+    even doc_ids carry machine-repeated template text (zlib ratio
+    ~0.03), odd ones an md5-hex entropy stream (~0.56); the 0.25
+    bucket cut sits >=0.3 from both, so the bucket is a pure
+    function of doc_id arithmetic the DuckDB oracle replays with no
+    zlib (the media_decode planted-ground-truth discipline — robust
+    to zlib-version drift by construction)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import \
+        with_compression_ratio
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hexspam = F.concat(*[
+        F.md5(F.encode(F.concat_ws(
+            "-", F.col("doc_id").cast("string"), F.lit(str(j))),
+            "UTF-8"))
+        for j in range(20)])
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.repeat(F.lit("click here to subscribe "), 80))
+        .otherwise(hexspam))
+    out = with_compression_ratio(planted)
+    return (out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("compression_ratio") < 0.25, "template")
+         .otherwise("entropy").alias("bucket"))
+        .orderBy("doc_id"))
+
+
 def q_host_trustrank(spark, sf_dir):
     """Seed-personalized PageRank (TrustRank, VLDB'04) over the
     harvested host graph — the spam-demotion companion of
@@ -2759,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_keeplist": q_containment_keeplist,
         "host_trustrank": q_host_trustrank,
+        "compression_quality": q_compression_quality,
         "cms_term_counts": q_cms_term_counts,
         "crawl_traps": q_crawl_traps,
         "host_quality_prior": q_host_quality_prior,
@@ -5074,6 +5106,16 @@ def _trustrank_oracle() -> str:
 
 
 ORACLES["host_trustrank"] = _trustrank_oracle()
+
+# planted-class twin: bucket is a pure function of doc_id parity (the
+# ratio margins are >=0.3 on each side of the 0.25 cut) — the oracle
+# needs no zlib, so the check is robust to zlib-version drift
+ORACLES["compression_quality"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'template'
+                ELSE 'entropy' END AS bucket
+    FROM documents ORDER BY doc_id
+"""
 
 # mirrors operators/mixing.py arithmetic IN THE SAME OP ORDER so the
 # doubles agree bit-for-bit: share = w / sum(w); feasible total =

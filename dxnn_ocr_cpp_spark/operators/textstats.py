@@ -424,3 +424,41 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.size(F.array_intersect("fa", "fb")).cast("int")
                      .alias("n_common"))
             .filter(F.col("n_common") >= min_common))
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text",
+                           out_col: str = "compression_ratio",
+                           level: int = 6) -> DataFrame:
+    """zlib compressed-bytes / raw-bytes ratio per document — the
+    cheap entropy signal web-curation pipelines use as a gibberish
+    AND template detector in one number (RefinedWeb / MassiveText
+    style): machine-repeated boilerplate compresses to near 0,
+    random/encoded junk sits near (or above) the hex-entropy band
+    ~0.5+, natural prose lands between. Complements the exact
+    repetition features (curation.with_repetition_features), which
+    count SPECIFIC dup shapes — the ratio catches repetition of any
+    shape at any period, plus the opposite failure (entropy spam).
+
+    One vectorized Arrow hop (Catalyst has no zlib), zero shuffle;
+    zlib output is deterministic for a fixed level, and the RATIO is
+    additionally robust to zlib-version drift (thresholds should
+    still leave margin — see the planted query's 0.25 cut between
+    ~0.01 template and ~0.55 hex). NULL/empty text -> NULL ratio
+    (undefined, not 0 — a 0 would read as 'maximally repetitive')."""
+    import zlib
+
+    import pandas as pd  # noqa: F811 (module-level import is below)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
