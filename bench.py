@@ -217,6 +217,7 @@ HEADLINE = [
     "containment_pairs",
     "containment_keeplist",
     "host_trustrank",
+    "compression_quality",
 ]
 
 
