@@ -2713,6 +2713,112 @@ def q_cms_term_counts(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_dataset_mix_temperature(spark, sf_dir):
+    """Temperature-scaled dataset mixing (mixing.temperature_weights
+    -> mix_rates -> mix_sample): weights ∝ n^tau with tau=0.5 — the
+    XLM-R/mC4 alpha-sampling knob that upsamples rare domains without
+    a hand-written weight table. Weights are quantized to integer
+    micro-units (round(n^tau * 1e6)) so the DuckDB twin replays the
+    pow() on identical integers; the twin then replays the
+    feasibility bound, the rate arithmetic in the same op order, and
+    the md5 bucket compare bit-for-bit (dataset_mix discipline).
+    Corpus side: one broadcast join + codegen'd filter, zero corpus
+    shuffle."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.mixing import (mix_rates,
+                                                     mix_sample,
+                                                     temperature_weights)
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    docs = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 i.cast("string")).alias("url"),
+        F.when(i % 20 < 12, "web").when(i % 20 < 17, "news")
+        .when(i % 20 < 19, "code").otherwise(F.lit("wiki"))
+        .alias("domain"),
+        "doc_id")
+    counts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    weights = temperature_weights(counts, tau=0.5)
+    rates = mix_rates(counts, weights)
+    kept = mix_sample(docs, rates, hash_family="md5")
+    return (kept.groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_id"))
+            .orderBy("domain"))
+
+
+def q_meta_robots_gate(spark, sf_dir):
+    """Robots META directives (meta.robots_directives): per-page
+    noindex/nofollow out of <meta name="robots"> — the in-page analog
+    of the robots.txt gate; noindex pages leave the published corpus,
+    nofollow pages contribute no link-graph edges. Exercises
+    attribute-order independence (content before name), case
+    (NOFOLLOW / name="ROBOTS"), the 'none' shorthand (both flags),
+    token boundaries (comma/space lists), absent tags, and a
+    name="googlebot" tag that must NOT match. Pure Catalyst regexp in
+    the scan stage, zero Python, zero shuffle; the DuckDB twin
+    rebuilds identical html and replays the IDENTICAL pattern
+    constants."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.meta import robots_directives
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    robots = (
+        F.when(i % 6 == 0,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(i % 6 == 1,
+              F.lit('<meta content="NOFOLLOW" name="ROBOTS">'))
+        .when(i % 6 == 2, F.lit("<meta name='robots' content='none'>"))
+        .when(i % 6 == 3, F.lit(""))
+        .when(i % 6 == 4,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(
+            F.lit('<meta name="googlebot" content="noindex">')))
+    html = F.concat(
+        F.lit('<html><head><meta name="description" content="d">'),
+        robots, F.lit("</head><body>b</body></html>"))
+    out = robots_directives(d.select("doc_id", html.alias("html")))
+    return (out.select("doc_id", "robots_noindex", "robots_nofollow",
+                       (~F.col("robots_noindex")).alias("indexable"))
+            .orderBy("doc_id"))
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode-script mix (textstats.script_mix): per-script letter
+    counts + dominant script — the coarse router above lang_id in a
+    multilingual curation stack (CCNet buckets by script before LM
+    scoring; marker-n-gram lang-id only covers Latin-script
+    languages). Planted text: per-script runs whose lengths derive
+    from doc_id arithmetic, so dominance varies and ties exercise the
+    fixed priority order (when-chain first-match = SQL CASE). Pure
+    Catalyst length-difference counting, zero Python, zero shuffle;
+    the twin replays the IDENTICAL literal-range classes with
+    regexp_replace(..., 'g')."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import script_mix
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.lit("123 !?"),
+        F.repeat(F.lit("ab"), (i % 7).cast("int")),
+        F.repeat(F.lit("юя"), (i % 5).cast("int")),
+        F.repeat(F.lit("αβ"), (i % 4).cast("int")),
+        F.repeat(F.lit("你好"), (i % 3).cast("int")),
+        F.repeat(F.lit("مر"), (i % 2).cast("int")),
+        F.repeat(F.lit("한국"), (i % 6).cast("int")))
+    out = script_mix(d.select("doc_id", text.alias("text")))
+    frac = (F.when(F.col("n_script_chars") > 0,
+                   F.col("n_latin").cast("double")
+                   / F.col("n_script_chars"))
+            .otherwise(F.lit(0.0)))
+    return (out.select("doc_id", "n_latin", "n_cyrillic", "n_greek",
+                       "n_cjk", "n_arabic", "n_hangul",
+                       "n_script_chars", "dominant_script",
+                       frac.alias("latin_frac"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's correctness window.
 
@@ -2834,6 +2940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
+        "dataset_mix_temperature": q_dataset_mix_temperature,
+        "meta_robots_gate": q_meta_robots_gate,
+        "script_mix": q_script_mix,
         # -- tier 4: no_oracle families (hash-mixing / iterative) LAST --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -5154,6 +5263,141 @@ ORACLES["dataset_mix"] = """
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
     FROM kept GROUP BY domain ORDER BY domain
 """
+
+# temperature-mixing twin: the dataset_mix replay with the weight
+# table coming from round(pow(n, tau) * 1e6) — integer micro-units
+# (dsir micro-nat discipline), so a last-ulp pow() divergence between
+# engines cannot reach the thresholds. pow(x, 0.5) is sqrt in both
+# fdlibm and glibc (special-cased), so the quantized weights are
+# bit-identical.
+ORACLES["dataset_mix_temperature"] = """
+    WITH docs AS (
+      SELECT 'https://example.com/doc/' || doc_id AS url,
+             CASE WHEN doc_id % 20 < 12 THEN 'web'
+                  WHEN doc_id % 20 < 17 THEN 'news'
+                  WHEN doc_id % 20 < 19 THEN 'code'
+                  ELSE 'wiki' END AS domain,
+             doc_id
+      FROM documents),
+    counts AS (SELECT domain, count(*) AS n FROM docs GROUP BY domain),
+    w AS (SELECT domain,
+                 round(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS weight
+          FROM counts),
+    sh AS (SELECT domain,
+                  weight / (SELECT sum(weight) FROM w) AS share
+           FROM w),
+    j AS (SELECT coalesce(c.domain, s.domain) AS domain,
+                 coalesce(c.n, 0) AS n_avail,
+                 coalesce(s.share, 0.0) AS share
+          FROM counts c FULL OUTER JOIN sh s ON c.domain = s.domain),
+    t AS (SELECT min(n_avail / share) AS tt FROM j WHERE share > 0),
+    thr AS (SELECT domain,
+                   CAST(floor(CASE WHEN n_avail > 0
+                                THEN share * tt / n_avail
+                                ELSE 0.0 END * 1000000) AS BIGINT)
+                     AS thr
+            FROM j CROSS JOIN t),
+    kept AS (SELECT d.domain, d.doc_id
+             FROM docs d JOIN thr ON d.domain = thr.domain
+             WHERE CAST('0x' || substr(md5(d.url), 1, 15) AS BIGINT)
+                     % 1000000 < thr.thr)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM kept GROUP BY domain ORDER BY domain
+"""
+
+
+def _robots_oracle() -> str:
+    """Full twin of q_meta_robots_gate: identical html, IDENTICAL
+    pattern constants from operators/meta.py (tag isolator + content
+    pull + token tests)."""
+    from dxnn_ocr_cpp_spark.operators import meta as M
+
+    def rx(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    content = (f"regexp_extract(regexp_extract(html, "
+               f"'{rx(M.ROBOTS_TAG_RE)}', 0), "
+               f"'{rx(M.CONTENT_ATTR_RE)}', 1)")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+        '<html><head><meta name="description" content="d">' ||
+        CASE
+          WHEN doc_id % 6 = 0
+            THEN '<meta name="robots" content="noindex, follow">'
+          WHEN doc_id % 6 = 1
+            THEN '<meta content="NOFOLLOW" name="ROBOTS">'
+          WHEN doc_id % 6 = 2
+            THEN '<meta name=''robots'' content=''none''>'
+          WHEN doc_id % 6 = 3 THEN ''
+          WHEN doc_id % 6 = 4
+            THEN '<meta name="robots" content="index, follow">'
+          ELSE '<meta name="googlebot" content="noindex">'
+        END || '</head><body>b</body></html>' AS html
+      FROM documents),
+    c AS (SELECT doc_id, {content} AS content FROM docs)
+    SELECT doc_id,
+           regexp_matches(content, '{rx(M.NOINDEX_RE)}')
+             AS robots_noindex,
+           regexp_matches(content, '{rx(M.NOFOLLOW_RE)}')
+             AS robots_nofollow,
+           NOT regexp_matches(content, '{rx(M.NOINDEX_RE)}')
+             AS indexable
+    FROM c ORDER BY doc_id
+    """
+
+
+ORACLES["meta_robots_gate"] = _robots_oracle()
+
+
+def _script_mix_oracle() -> str:
+    """Full twin of q_script_mix: identical planted text (repeat runs
+    from doc_id arithmetic), IDENTICAL literal-range classes from
+    textstats.SCRIPT_CLASSES via the length-difference idiom, and the
+    same CASE chain for dominance (first match wins = the Spark
+    when-chain)."""
+    from dxnn_ocr_cpp_spark.operators.textstats import SCRIPT_CLASSES
+    names = [n for n, _ in SCRIPT_CLASSES]
+    cnt = ",\n             ".join(
+        f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+        f" AS n_{name}"
+        for name, cls in SCRIPT_CLASSES)
+    total = " + ".join(f"n_{n}" for n in names)
+    branches = "\n           ".join(
+        "WHEN n_{0} > 0 AND {1} THEN '{0}'".format(
+            name, " AND ".join(f"n_{name} >= n_{o}"
+                               for o in names if o != name))
+        for name in names)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             concat_ws(' ', '123 !?',
+                       repeat('ab', CAST(doc_id % 7 AS INT)),
+                       repeat('юя', CAST(doc_id % 5 AS INT)),
+                       repeat('αβ', CAST(doc_id % 4 AS INT)),
+                       repeat('你好', CAST(doc_id % 3 AS INT)),
+                       repeat('مر', CAST(doc_id % 2 AS INT)),
+                       repeat('한국', CAST(doc_id % 6 AS INT))) AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             {cnt}
+      FROM docs),
+    tot AS (SELECT *, CAST({total} AS BIGINT) AS n_script_chars FROM c)
+    SELECT doc_id,
+           {", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in names)},
+           n_script_chars,
+           CASE {branches}
+           ELSE 'none' END AS dominant_script,
+           CASE WHEN n_script_chars > 0
+                THEN CAST(n_latin AS DOUBLE) / n_script_chars
+                ELSE 0.0 END AS latin_frac
+    FROM tot ORDER BY doc_id
+    """
+
+
+ORACLES["script_mix"] = _script_mix_oracle()
 
 # DSIR twin: same tokenization as lm_quality's oracle, unigrams+bigrams
 # WITH multiplicity, md5 bucket hashing (mixing-family '0x'||15-hex),

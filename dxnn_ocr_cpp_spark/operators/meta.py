@@ -138,3 +138,48 @@ def publish_dates(df: DataFrame, html_col: str = "html",
                   .otherwise(F.lit("")))
     return (df.withColumn("pub_date", pub_date)
             .withColumn("pub_source", pub_source))
+
+
+# ---------- robots meta directives ----------
+
+# whole-tag isolator, first match wins (page_meta discipline). The
+# name attribute must say exactly robots — bot-specific tags
+# (name="googlebot") are a per-agent policy this corpus-level gate
+# deliberately ignores (documented limitation, mirrors the urls.py
+# robots_gate single-agent simplification).
+ROBOTS_TAG_RE = r"""(?is)<meta\s[^>]*?name\s*=\s*["']robots["'][^>]*>"""
+# token tests on the isolated content= value: comma/whitespace
+# delimited directive lists ("noindex, follow"), case-insensitive;
+# 'none' is the spec'd shorthand for 'noindex, nofollow'
+NOINDEX_RE = r"(?i)(^|[,\s])\s*(noindex|none)\s*([,\s]|$)"
+NOFOLLOW_RE = r"(?i)(^|[,\s])\s*(nofollow|none)\s*([,\s]|$)"
+
+
+def robots_directives(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds boolean (robots_noindex, robots_nofollow) from the page's
+    <meta name="robots"> tag — the in-page analog of the host-level
+    robots.txt gate (urls.robots_gate): noindex pages must be dropped
+    from a published corpus, nofollow pages contribute no edges to the
+    link graph (linkgraph.host_edges).
+
+    Policy: first robots tag wins; directives are comma/whitespace
+    separated tokens, case-insensitive; 'none' implies both noindex
+    and nofollow; absent tag / absent content attr -> both False
+    (index,follow is the web default). Pure Catalyst regexp in the
+    scan stage — zero Python, zero shuffle; pattern constants live in
+    the Java/RE2 COMMON subset so the DuckDB twin replays the
+    IDENTICAL strings (page_meta discipline).
+    """
+    content = F.regexp_extract(
+        F.regexp_extract(F.col(html_col), ROBOTS_TAG_RE, 0),
+        CONTENT_ATTR_RE, 1)
+    return (df.withColumn("robots_noindex", content.rlike(NOINDEX_RE))
+            .withColumn("robots_nofollow", content.rlike(NOFOLLOW_RE)))
+
+
+def indexable_docs(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Corpus gate: rows whose page does NOT opt out via
+    <meta name="robots" ... noindex|none>. Input schema preserved."""
+    out = robots_directives(df, html_col)
+    return (out.filter(~F.col("robots_noindex"))
+            .drop("robots_noindex", "robots_nofollow"))

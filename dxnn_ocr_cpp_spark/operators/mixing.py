@@ -98,6 +98,38 @@ def mix_rates(domain_counts: DataFrame, weights: DataFrame,
                     .otherwise(F.lit(0.0)).alias("rate")))
 
 
+def temperature_weights(domain_counts: DataFrame, tau: float,
+                        quantum: int = 1_000_000) -> DataFrame:
+    """(domain, weight) mixture weights from corpus shares with a
+    sampling temperature: weight ∝ n_avail^tau.
+
+    The standard multilingual/multi-source rebalancing knob (XLM-R /
+    mC4 alpha-sampling, typically tau in [0.2, 0.7]): tau=1 keeps
+    natural proportions (mixing becomes a no-op), tau=0 is uniform
+    over represented domains, 0<tau<1 flattens the mixture — rare
+    domains are upsampled relative to their natural share without
+    hand-written weight tables. Feed the result straight into
+    mix_rates (which normalizes, so these weights need no
+    normalization here).
+
+    Weights are quantized to integer micro-units (round(n^tau *
+    quantum)) — the dsir.py micro-nat discipline: the DuckDB twin
+    replays round(pow(...)) on identical integers, so a last-ulp
+    difference between the two engines' pow() can never propagate
+    into the acceptance thresholds.
+
+    Runs on the GROUP table only (thousands of rows at web scale,
+    never the corpus).
+    """
+    dc = domain_counts.select(
+        F.col(domain_counts.columns[0]).alias("domain"),
+        F.col(domain_counts.columns[1]).cast("double").alias("_n"))
+    w = F.round(F.pow(F.col("_n"), F.lit(float(tau))) * quantum)
+    return dc.select("domain",
+                     F.when(F.col("_n") > 0, w)
+                     .otherwise(F.lit(0.0)).alias("weight"))
+
+
 def mix_sample(docs: DataFrame, rates: DataFrame,
                domain_col: str = "domain", key_col: str = "url",
                hash_family: str = "xxhash64") -> DataFrame:

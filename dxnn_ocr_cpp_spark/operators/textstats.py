@@ -462,3 +462,69 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text",
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+# ---------- Unicode-script mix ----------
+
+# character classes as LITERAL code-point ranges (no \u/\x{..} escape
+# syntax, which Java regex and RE2 spell differently — the literal
+# chars are the Java/RE2 COMMON subset, the urls.py discipline). BMP
+# only (astral planes would also split Spark's UTF-16 vs DuckDB's
+# code-point length()).
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[぀-ヿ一-鿿]"),   # kana + unified han
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힯]"),
+)
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script letter counts via the length-difference idiom
+    (count = len(s) - len(s with the class removed)) — one codegen'd
+    expression per script, zero Python, zero shuffle."""
+    return {name: (F.length(text)
+                   - F.length(F.regexp_replace(text, cls, "")))
+            .cast("long")
+            for name, cls in SCRIPT_CLASSES}
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-script letter counts (n_latin, n_cyrillic, n_greek,
+    n_cjk, n_arabic, n_hangul), total n_script_chars, and
+    dominant_script — the script-level routing signal that precedes
+    language ID in every multilingual curation stack (fastText lang-id
+    confidence collapses on wrong-script text; CCNet buckets by
+    script before LM scoring). lang_id (marker n-grams) only covers
+    Latin-script languages; this is the coarse router above it.
+
+    dominant_script: argmax by count with a FIXED priority order on
+    ties (the declaration order of SCRIPT_CLASSES — latin first), and
+    'none' when no script letter occurs: each branch tests "mine > 0
+    and mine >= every other", and the when-chain's first-match-wins
+    order IS the tie-break — replayable as an identical SQL CASE
+    chain. Pure Catalyst, scan-stage expressions.
+    """
+    t = F.col(text_col)
+    counts = script_counts(t)
+    out = df
+    for name, _ in SCRIPT_CLASSES:
+        out = out.withColumn(f"n_{name}", counts[name])
+    total = None
+    for name, _ in SCRIPT_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    out = out.withColumn("n_script_chars", total.cast("long"))
+    dom = None
+    names = [n for n, _ in SCRIPT_CLASSES]
+    for name in names:
+        c = F.col(f"n_{name}")
+        cond = (c > 0)
+        for other in names:
+            if other != name:
+                cond = cond & (c >= F.col(f"n_{other}"))
+        dom = F.when(cond, F.lit(name)) if dom is None else \
+            dom.when(cond, F.lit(name))
+    return out.withColumn("dominant_script", dom.otherwise(F.lit("none")))

@@ -139,3 +139,76 @@ def test_publish_date_plan_scan_stage_only(spark):
     plan = publish_dates(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestRobotsDirectives:
+    ROWS = [
+        (0, '<head><meta name="robots" content="noindex, follow"></head>'),
+        (1, '<head><meta content="NOFOLLOW" name="ROBOTS"></head>'),
+        (2, "<head><meta name='robots' content='none'></head>"),
+        (3, '<head><meta name="description" content="noindex"></head>'),
+        (4, '<head><meta name="robots" content="index, follow"></head>'),
+        (5, '<head><meta name="googlebot" content="noindex"></head>'),
+        # first robots tag wins; second must not resurrect indexing
+        (6, '<head><meta name="robots" content="noindex">'
+            '<meta name="robots" content="index, follow"></head>'),
+        # content attr missing entirely -> default index,follow
+        (7, '<head><meta name="robots"></head>'),
+        # token boundary: noindexfoo is NOT the noindex directive
+        (8, '<head><meta name="robots" content="noindexfoo"></head>'),
+    ]
+
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        from dxnn_ocr_cpp_spark.operators.meta import robots_directives
+        df = spark.createDataFrame(self.ROWS, "doc_id long, html string")
+        return {r["doc_id"]: r for r in robots_directives(df).collect()}
+
+    def test_directives(self, out):
+        expect = {0: (True, False), 1: (False, True), 2: (True, True),
+                  3: (False, False), 4: (False, False),
+                  5: (False, False), 6: (True, False),
+                  7: (False, False), 8: (False, False)}
+        got = {k: (v["robots_noindex"], v["robots_nofollow"])
+               for k, v in out.items()}
+        assert got == expect
+
+    def test_gate_preserves_schema_and_drops_noindex(self, spark):
+        from dxnn_ocr_cpp_spark.operators.meta import indexable_docs
+        df = spark.createDataFrame(self.ROWS, "doc_id long, html string")
+        kept = indexable_docs(df)
+        assert kept.columns == ["doc_id", "html"]
+        assert sorted(r["doc_id"] for r in kept.collect()) == \
+            [1, 3, 4, 5, 7, 8]
+
+
+class TestScriptMix:
+    def test_counts_and_dominance(self, spark):
+        from dxnn_ocr_cpp_spark.operators.textstats import script_mix
+        rows = [
+            (0, "hello world 123"),          # latin only
+            (1, "Привет мир"),               # cyrillic
+            (2, "abc 你好你好"),              # cjk 4 > latin 3
+            (3, "ab юя"),                     # tie 2-2 -> latin priority
+            (4, "1234 !?"),                   # no script letters
+            (5, "αβγ مرحبا 한국어"),          # arabic 5 > hangul 3 > greek 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in script_mix(df).collect()}
+        assert out[0]["dominant_script"] == "latin"
+        assert out[0]["n_latin"] == 10
+        assert out[1]["dominant_script"] == "cyrillic"
+        assert out[2]["dominant_script"] == "cjk"
+        assert out[2]["n_cjk"] == 4 and out[2]["n_latin"] == 3
+        assert out[3]["dominant_script"] == "latin"   # declared priority
+        assert out[4]["dominant_script"] == "none"
+        assert out[4]["n_script_chars"] == 0
+        assert out[5]["dominant_script"] == "arabic"
+        assert out[5]["n_greek"] == 3 and out[5]["n_hangul"] == 3
+
+    def test_pure_catalyst_plan(self, spark):
+        from dxnn_ocr_cpp_spark.operators.textstats import script_mix
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = script_mix(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan

@@ -102,3 +102,53 @@ class TestSample:
         assert "BroadcastHashJoin" in plan
         for bad in ("CartesianProduct", "ArrowEval", "BatchEvalPython"):
             assert bad not in plan
+
+
+class TestTemperature:
+    def test_tau_one_is_proportional(self, spark, corpus):
+        # tau=1: weights equal the natural shares -> every rate is the
+        # SAME constant (no domain rebalanced relative to another)
+        from dxnn_ocr_cpp_spark.operators.mixing import (
+            mix_rates, temperature_weights)
+        counts = corpus.groupBy("domain").count()
+        rates = mix_rates(counts, temperature_weights(counts, tau=1.0))
+        vals = [x["rate"] for x in rates.collect()]
+        assert max(vals) == pytest.approx(min(vals))
+        assert max(vals) == pytest.approx(1.0)  # feasibility cap
+
+    def test_tau_zero_is_uniform(self, spark, corpus):
+        # tau=0: every represented domain gets equal weight -> the
+        # realized mix is uniform, capped by the scarcest domain
+        from dxnn_ocr_cpp_spark.operators.mixing import (
+            mix_rates, mix_sample, temperature_weights)
+        counts = corpus.groupBy("domain").count()
+        rates = mix_rates(counts, temperature_weights(counts, tau=0.0))
+        kept = mix_sample(corpus, rates).groupBy("domain").count()
+        n = {x["domain"]: x["count"] for x in kept.collect()}
+        # scarcest domain (reference, 300) is fully kept; each other
+        # domain contributes ~300 too (hash sampling is +-2% at n=300)
+        assert n["reference"] == 300
+        for d in ("web", "code"):
+            assert abs(n[d] - 300) <= 25
+
+    def test_flattening_monotone(self, spark, corpus):
+        # 0 < tau < 1 sits between proportional and uniform: the rare
+        # domain's share of the mix grows as tau falls
+        from dxnn_ocr_cpp_spark.operators.mixing import (
+            mix_rates, mix_sample, temperature_weights)
+        counts = corpus.groupBy("domain").count()
+
+        def ref_share(tau):
+            rates = mix_rates(counts, temperature_weights(counts, tau))
+            kept = mix_sample(corpus, rates).groupBy("domain").count()
+            n = {x["domain"]: x["count"] for x in kept.collect()}
+            return n.get("reference", 0) / sum(n.values())
+
+        s1, s05, s0 = ref_share(1.0), ref_share(0.5), ref_share(0.0)
+        assert s1 < s05 < s0
+
+    def test_weights_are_quantized_integers(self, spark, corpus):
+        from dxnn_ocr_cpp_spark.operators.mixing import temperature_weights
+        counts = corpus.groupBy("domain").count()
+        for w in temperature_weights(counts, tau=0.37).collect():
+            assert w["weight"] == float(int(w["weight"]))
