@@ -2713,6 +2713,40 @@ def q_cms_term_counts(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Drop-reason funnel (curation.drop_reasons): per-doc attribution
+    of WHICH gate removed it — empty -> duplicate -> low_quality ->
+    wrong_lang in pipeline order, first failing gate wins, 'kept'
+    otherwise. The audit view next to curate_keeplist's keep-list:
+    same legs (md5 fingerprint survivorship window, quality_score,
+    lang_id), now labelling the rejects instead of dropping them. The
+    DuckDB twin replays the same CTEs with an identical CASE chain
+    (coalesce-totalized predicates, same order)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import drop_reasons
+    from dxnn_ocr_cpp_spark.operators.textstats import (fingerprint,
+                                                        lang_id,
+                                                        quality_score)
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    s = (d.select("doc_id", "text",
+                  fingerprint(F.col("text")).alias("fingerprint"),
+                  F.round(quality_score(F.col("text")), 6)
+                  .alias("quality_score"),
+                  lang_id(F.col("text")).alias("lang_pred"))
+         .withColumn("keep_id", F.min("doc_id").over(w)))
+    gates = [
+        ("empty", F.trim(F.col("text")) != ""),
+        ("duplicate", F.col("doc_id") == F.col("keep_id")),
+        ("low_quality", F.col("quality_score") >= 0.5),
+        ("wrong_lang", F.col("lang_pred") == "en"),
+    ]
+    return (drop_reasons(s, gates)
+            .select("doc_id", "drop_reason", "quality_score",
+                    "lang_pred")
+            .orderBy("doc_id"))
+
+
 def q_dataset_mix_temperature(spark, sf_dir):
     """Temperature-scaled dataset mixing (mixing.temperature_weights
     -> mix_rates -> mix_sample): weights ∝ n^tau with tau=0.5 — the
@@ -2940,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
+        "curation_funnel": q_curation_funnel,
         "dataset_mix_temperature": q_dataset_mix_temperature,
         "meta_robots_gate": q_meta_robots_gate,
         "script_mix": q_script_mix,
@@ -5262,6 +5297,52 @@ ORACLES["dataset_mix"] = """
     SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
     FROM kept GROUP BY domain ORDER BY domain
+"""
+
+# funnel twin: the curate_keeplist CTEs with an identical
+# coalesce-totalized CASE chain instead of the WHERE — first failing
+# gate in pipeline order wins, 'kept' otherwise.
+ORACLES["curation_funnel"] = f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop,
+             len(regexp_extract_all(lower(text), '{_DE_RE}')) AS de,
+             len(regexp_extract_all(lower(text), '{_EN_RE}')) AS en,
+             len(regexp_extract_all(lower(text), '{_ES_RE}')) AS es,
+             len(regexp_extract_all(lower(text), '{_FR_RE}')) AS fr
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+             round(least(n_tokens / 20.0, 1.0)
+                   * least(n_alpha / greatest(n_chars, 1)::DOUBLE * 1.25, 1.0)
+                   * least(n_stop / greatest(n_tokens, 1)::DOUBLE * 4.0, 1.0),
+                   6) AS quality_score,
+             CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                  WHEN de = greatest(de, en, es, fr) THEN 'de'
+                  WHEN en = greatest(de, en, es, fr) THEN 'en'
+                  WHEN es = greatest(de, en, es, fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+      FROM f)
+    SELECT doc_id,
+           CASE WHEN NOT coalesce(trim(text) <> '', false)
+                  THEN 'empty'
+                WHEN NOT coalesce(doc_id = keep_id, false)
+                  THEN 'duplicate'
+                WHEN NOT coalesce(quality_score >= 0.5, false)
+                  THEN 'low_quality'
+                WHEN NOT coalesce(lang_pred = 'en', false)
+                  THEN 'wrong_lang'
+                ELSE 'kept' END AS drop_reason,
+           quality_score, lang_pred
+    FROM s ORDER BY doc_id
 """
 
 # temperature-mixing twin: the dataset_mix replay with the weight

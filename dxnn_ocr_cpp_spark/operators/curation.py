@@ -830,3 +830,44 @@ def with_host_prior(df: DataFrame, priors: DataFrame,
     return (df.join(F.broadcast(p), df[host_col] == F.col("_ph"),
                     "left")
             .drop("_ph"))
+
+
+# ---------- drop-reason funnel (curation audit) ----------
+
+def drop_reasons(df: DataFrame, gates, keep_label: str = "kept",
+                 out_col: str = "drop_reason") -> DataFrame:
+    """Per-row filter attribution: `out_col` names the FIRST failing
+    gate, or `keep_label` if every gate passes — the funnel report
+    every production curation pipeline ships next to its keep-list
+    (what fraction died where; a gate suddenly eating 40% of the
+    corpus is the on-call page).
+
+    gates: ordered (label, keep_predicate Column) pairs — pipeline
+    order IS the attribution order, exactly the short-circuit a
+    sequential filter chain would apply. Predicates are made total
+    with coalesce(pred, False): a NULL predicate (null text reaching
+    a comparison) attributes the row to that gate instead of leaking
+    a NULL reason (ADVICE r2 fixed_applied lesson).
+
+    Scale shape: pure column logic over whatever the predicates cost —
+    this adds zero shuffles of its own; window-backed predicates (e.g.
+    dedup survivorship) keep their own exchange. One when-chain, one
+    output column; replayable as an identical SQL CASE chain.
+    """
+    reason = None
+    for label, pred in gates:
+        failed = ~F.coalesce(pred, F.lit(False))
+        reason = (F.when(failed, F.lit(label)) if reason is None
+                  else reason.when(failed, F.lit(label)))
+    reason = (F.lit(keep_label) if reason is None
+              else reason.otherwise(F.lit(keep_label)))
+    return df.withColumn(out_col, reason)
+
+
+def funnel_report(df: DataFrame,
+                  reason_col: str = "drop_reason") -> DataFrame:
+    """(drop_reason, n) rollup of a drop_reasons() result — the
+    monitoring view (partial-aggregated groupBy over a handful of
+    distinct labels; snapshots.diff_summary discipline)."""
+    return (df.groupBy(reason_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

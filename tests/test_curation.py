@@ -568,3 +568,47 @@ class TestHostQualityPrior:
         assert plan.count("Exchange hashpartitioning") <= 1
         assert plan.count("Scan ExistingRDD") <= 2  # checkpoint reuse
         assert "Window" not in plan and "PythonUDF" not in plan
+
+
+class TestDropReasons:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [(0, "good", 10), (1, None, 10), (2, "good", 3),
+             (3, "bad", 10), (4, "good", 10)],
+            "id long, tag string, score long")
+
+    def gates(self):
+        from pyspark.sql import functions as F
+        return [("tag_bad", F.col("tag") == "good"),
+                ("low_score", F.col("score") >= 5)]
+
+    def test_first_failing_gate_wins(self, spark, df):
+        from dxnn_ocr_cpp_spark.operators.curation import drop_reasons
+        out = {r["id"]: r["drop_reason"]
+               for r in drop_reasons(df, self.gates()).collect()}
+        # id=3 fails BOTH gates? no: tag 'bad' fails gate 1 -> gate 1
+        # attributed even though score passes; id=2 passes gate 1,
+        # fails gate 2
+        assert out == {0: "kept", 1: "tag_bad", 2: "low_score",
+                       3: "tag_bad", 4: "kept"}
+
+    def test_null_predicate_attributes_not_leaks(self, spark, df):
+        # id=1: tag NULL -> predicate NULL -> coalesce(False) ->
+        # attributed to that gate, never a NULL reason
+        from dxnn_ocr_cpp_spark.operators.curation import drop_reasons
+        rows = drop_reasons(df, self.gates()).collect()
+        assert all(r["drop_reason"] is not None for r in rows)
+
+    def test_funnel_report_rollup(self, spark, df):
+        from dxnn_ocr_cpp_spark.operators.curation import (drop_reasons,
+                                                           funnel_report)
+        rep = {r["drop_reason"]: r["n"] for r in
+               funnel_report(drop_reasons(df, self.gates())).collect()}
+        assert rep == {"kept": 2, "tag_bad": 2, "low_score": 1}
+
+    def test_adds_no_exchange(self, spark, df):
+        from dxnn_ocr_cpp_spark.operators.curation import drop_reasons
+        plan = (drop_reasons(df, self.gates())
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
