@@ -2713,6 +2713,24 @@ def q_cms_term_counts(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_host_hits(spark, sf_dir):
+    """Weighted HITS hubs/authorities over the harvested host graph
+    (linkgraph.host_hits, Kleinberg JACM 1999) — the mutual-
+    reinforcement complement of host_pagerank: 3 L1-normalized
+    rounds, dangling hosts kept at 0. The DuckDB oracle unrolls the
+    SAME 3 rounds as chained CTEs (linkgraph.hits_oracle_sql), so
+    value equality certifies the distributed two-joins-per-round
+    decomposition against a sequential replay."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.linkgraph import (host_edges,
+                                                        host_hits)
+    edges = host_edges(_linky_docs(spark, sf_dir))
+    return (host_hits(edges, iters=3)
+            .select("host", F.round("hub", 6).alias("hub"),
+                    F.round("authority", 6).alias("authority"))
+            .orderBy("host"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """Drop-reason funnel (curation.drop_reasons): per-doc attribution
     of WHICH gate removed it — empty -> duplicate -> low_quality ->
@@ -2974,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
+        "host_hits": q_host_hits,
         "curation_funnel": q_curation_funnel,
         "dataset_mix_temperature": q_dataset_mix_temperature,
         "meta_robots_gate": q_meta_robots_gate,
@@ -5250,6 +5269,18 @@ def _trustrank_oracle() -> str:
 
 
 ORACLES["host_trustrank"] = _trustrank_oracle()
+
+
+def _hits_oracle() -> str:
+    from dxnn_ocr_cpp_spark.operators.linkgraph import hits_oracle_sql
+    inner = hits_oracle_sql(f"SELECT * FROM ({_link_edges_sql()})",
+                            iters=3)
+    return (f"SELECT host, round(hub, 6) AS hub, "
+            f"round(authority, 6) AS authority FROM ({inner}) "
+            f"ORDER BY host")
+
+
+ORACLES["host_hits"] = _hits_oracle()
 
 # planted-class twin: bucket is a pure function of doc_id parity (the
 # ratio margins are >=0.3 on each side of the 0.25 cut) — the oracle

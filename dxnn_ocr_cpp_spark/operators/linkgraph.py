@@ -327,3 +327,101 @@ def trustrank_oracle_sql(edges_cte: str, seeds_cte: str,
             f" FROM t{k} JOIN norm ON t{k}.host = norm.u "
             f" GROUP BY norm.v) c ON flagged.host = c.host)")
     return ",\n".join(parts) + f"\nSELECT host, trust FROM t{iters}"
+
+
+def host_hits(edges: DataFrame, iters: int = 3,
+              weight_col: str = "n_links") -> DataFrame:
+    """(host, hub, authority) after `iters` rounds of weighted HITS
+    (Kleinberg, JACM 1999) over a (src_host, dst_host, weight) edge
+    list — the hub/authority complement of host_pagerank: authorities
+    are hosts good hubs point AT (reference targets worth boosting in
+    a curation prior), hubs are hosts that point at good authorities
+    (directories/aggregators — often the PAGES one drops while
+    KEEPING what they link to).
+
+    Semantics (L1-normalized mutual reinforcement, the SQL-replayable
+    variant):
+      hub_0(u)  = 1.0 for every host in the graph
+      auth_k(v) = sum over in-edges (u,v) of hub_k-1(u) * w(u,v),
+                  then divided by the graph-wide sum (L1)
+      hub_k(u)  = sum over out-edges (u,v) of auth_k(v) * w(u,v),
+                  then divided by the graph-wide sum
+    Hosts with no in-edges (resp. out-edges) carry authority (resp.
+    hub) 0 and stay ranked.
+
+    Scale shape: the host_pagerank discipline — two edges-to-scores
+    joins + partial-aggregated groupBys per round (both sides
+    hash-partitioned on host strings), each L1 denominator a 1-row
+    aggregate broadcast back (never a driver collect), localCheckpoint
+    per round truncates the iterative lineage. Exactly replayable as
+    unrolled CTEs (hits_oracle_sql).
+    """
+    e = (edges.select(F.col("src_host").alias("u"),
+                      F.col("dst_host").alias("v"),
+                      F.col(weight_col).cast("double").alias("w"))
+         .persist())
+    nodes = (e.select(F.col("u").alias("host"))
+             .union(e.select(F.col("v").alias("host")))
+             .distinct().persist())
+    hubs = nodes.select("host", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        ain = (hubs.join(e, hubs["host"] == e["u"])
+               .groupBy(F.col("v").alias("host"))
+               .agg(F.sum(F.col("hub") * F.col("w")).alias("a")))
+        asum = ain.agg(F.sum("a").alias("_s"))
+        auth = (nodes.join(ain, "host", "left")
+                .crossJoin(F.broadcast(asum))
+                .select("host", (F.coalesce("a", F.lit(0.0))
+                                 / F.col("_s")).alias("authority"))
+                .localCheckpoint(eager=False))
+        hout = (auth.join(e, auth["host"] == e["v"])
+                .groupBy(F.col("u").alias("host"))
+                .agg(F.sum(F.col("authority") * F.col("w")).alias("h")))
+        hsum = hout.agg(F.sum("h").alias("_s"))
+        hubs = (nodes.join(hout, "host", "left")
+                .crossJoin(F.broadcast(hsum))
+                .select("host", (F.coalesce("h", F.lit(0.0))
+                                 / F.col("_s")).alias("hub"))
+                .localCheckpoint(eager=False))
+    return hubs.join(auth, "host").select("host", "hub", "authority")
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB SQL replaying host_hits over `edges_cte` (a CTE body
+    selecting (u, v, w)) as `iters` unrolled CTE rounds. Returns a
+    full query yielding (host, hub, authority); caller rounds/orders."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # round 2-3 times (join + L1 scalar subquery), so DuckDB's default
+    # CTE inlining would replicate the whole chain exponentially
+    # (~4^iters copies of the edge harvest — measured as a hang at
+    # iters=3 on 500 docs; materialization makes it linear like the
+    # Spark plan's localCheckpoints)
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS host FROM e "
+        "UNION SELECT DISTINCT v FROM e)",
+        "h0 AS MATERIALIZED (SELECT host, 1.0 AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"a{k}r AS MATERIALIZED "
+            f"(SELECT e.v AS host, sum(h{k - 1}.hub * e.w) AS a "
+            f"FROM h{k - 1} JOIN e ON h{k - 1}.host = e.u GROUP BY e.v)")
+        parts.append(
+            f"a{k} AS MATERIALIZED "
+            f"(SELECT nodes.host, coalesce(a{k}r.a, 0.0) / "
+            f"(SELECT sum(a) FROM a{k}r) AS authority "
+            f"FROM nodes LEFT JOIN a{k}r ON nodes.host = a{k}r.host)")
+        parts.append(
+            f"h{k}r AS MATERIALIZED (SELECT e.u AS host, "
+            f"sum(a{k}.authority * e.w) AS h "
+            f"FROM a{k} JOIN e ON a{k}.host = e.v GROUP BY e.u)")
+        parts.append(
+            f"h{k} AS MATERIALIZED "
+            f"(SELECT nodes.host, coalesce(h{k}r.h, 0.0) / "
+            f"(SELECT sum(h) FROM h{k}r) AS hub "
+            f"FROM nodes LEFT JOIN h{k}r ON nodes.host = h{k}r.host)")
+    return (",\n".join(parts)
+            + f"\nSELECT h{iters}.host, h{iters}.hub, a{iters}.authority"
+            f" FROM h{iters} JOIN a{iters} ON h{iters}.host = a{iters}.host")

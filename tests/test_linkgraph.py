@@ -244,3 +244,45 @@ class TestTrustRank:
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                     "ArrowEval", "BatchEvalPython"):
             assert bad not in plan
+
+
+class TestHostHits:
+    @pytest.fixture(scope="class")
+    def scores(self, spark):
+        from dxnn_ocr_cpp_spark.operators.linkgraph import host_hits
+        e = spark.createDataFrame(
+            [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)],
+            "src_host string, dst_host string, n_links long")
+        return {r["host"]: (r["hub"], r["authority"])
+                for r in host_hits(e, iters=3).collect()}
+
+    def test_matches_sequential_reference(self, scores):
+        # replay the exact L1-normalized semantics sequentially
+        nodes = ["a", "b", "c"]
+        E = {("a", "b"): 2.0, ("a", "c"): 1.0, ("b", "c"): 1.0}
+        hub = {n: 1.0 for n in nodes}
+        for _ in range(3):
+            a = {n: sum(hub[u] * w for (u, v), w in E.items() if v == n)
+                 for n in nodes}
+            s = sum(a.values())
+            a = {n: x / s for n, x in a.items()}
+            h = {n: sum(a[v] * w for (u, v), w in E.items() if u == n)
+                 for n in nodes}
+            s = sum(h.values())
+            hub = {n: x / s for n, x in h.items()}
+            auth = a
+        for n in nodes:
+            assert scores[n][0] == pytest.approx(hub[n], abs=1e-12)
+            assert scores[n][1] == pytest.approx(auth[n], abs=1e-12)
+
+    def test_structure(self, scores):
+        # no out-edges -> hub 0; no in-edges -> authority 0;
+        # both L1 totals normalize to 1
+        assert scores["c"][0] == 0.0
+        assert scores["a"][1] == 0.0
+        assert sum(v[0] for v in scores.values()) == pytest.approx(1.0)
+        assert sum(v[1] for v in scores.values()) == pytest.approx(1.0)
+        # the pure hub dominates; the weight-2 target out-ranks the
+        # twice-linked-but-weight-1 target (weighted, not just counted)
+        assert scores["a"][0] > scores["b"][0] > scores["c"][0]
+        assert scores["b"][1] > scores["c"][1] > scores["a"][1]
