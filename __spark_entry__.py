@@ -2713,6 +2713,41 @@ def q_cms_term_counts(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_epoch_plan(spark, sf_dir):
+    """Data-constrained epoch planner (mixing.epoch_plan): per-domain
+    epochs/realized/shortfall against a 500k-token budget at target
+    shares, repetition capped at 4 epochs (Muennighoff et al. 2023).
+    Runs on the GROUP table (one partial-agg groupBy over the corpus,
+    then small-table arithmetic); the DuckDB twin replays the token
+    rollup, share normalization, cap and shortfall in identical op
+    order."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.mixing import epoch_plan
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    toks = (d.select(
+        F.when(i % 20 < 12, "web").when(i % 20 < 17, "news")
+        .when(i % 20 < 19, "code").otherwise(F.lit("wiki"))
+        .alias("domain"),
+        F.col("n_chars"))
+        .groupBy("domain")
+        .agg(F.sum("n_chars").cast("long").alias("n_tokens")))
+    weights = spark.createDataFrame(
+        [("web", 0.4), ("news", 0.3), ("code", 0.2), ("wiki", 0.1)],
+        "domain string, weight double")
+    plan = epoch_plan(toks, weights, budget_tokens=500_000,
+                      max_epochs=4.0)
+    return (plan.select("domain", "n_tokens",
+                        F.round("share", 6).alias("share"),
+                        F.round("target_tokens", 4)
+                        .alias("target_tokens"),
+                        F.round("epochs", 6).alias("epochs"),
+                        F.round("realized_tokens", 4)
+                        .alias("realized_tokens"),
+                        F.round("shortfall", 4).alias("shortfall"))
+            .orderBy("domain"))
+
+
 def q_host_hits(spark, sf_dir):
     """Weighted HITS hubs/authorities over the harvested host graph
     (linkgraph.host_hits, Kleinberg JACM 1999) — the mutual-
@@ -2992,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
+        "epoch_plan": q_epoch_plan,
         "host_hits": q_host_hits,
         "curation_funnel": q_curation_funnel,
         "dataset_mix_temperature": q_dataset_mix_temperature,
@@ -5328,6 +5364,42 @@ ORACLES["dataset_mix"] = """
     SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
     FROM kept GROUP BY domain ORDER BY domain
+"""
+
+# epoch-plan twin: token rollup -> share normalization -> capped
+# epochs -> shortfall, identical op order, outputs rounded identically
+# in both engines (sum(n_chars) cast from HUGEINT, the
+# len_bucket_histogram lesson).
+ORACLES["epoch_plan"] = """
+    WITH dt AS (
+      SELECT CASE WHEN doc_id % 20 < 12 THEN 'web'
+                  WHEN doc_id % 20 < 17 THEN 'news'
+                  WHEN doc_id % 20 < 19 THEN 'code'
+                  ELSE 'wiki' END AS domain,
+             CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    w AS (SELECT * FROM (VALUES ('web', 0.4), ('news', 0.3),
+                                ('code', 0.2), ('wiki', 0.1))
+          t(domain, weight)),
+    sh AS (SELECT domain,
+                  weight / (SELECT sum(weight) FROM w) AS share
+           FROM w),
+    j AS (SELECT coalesce(d.domain, s.domain) AS domain,
+                 coalesce(d.n_tokens, 0) AS n_tokens,
+                 coalesce(s.share, 0.0) AS share
+          FROM dt d FULL OUTER JOIN sh s ON d.domain = s.domain),
+    p AS (SELECT domain, n_tokens, share,
+                 share * 500000 AS target,
+                 CASE WHEN n_tokens > 0
+                      THEN least(4.0, share * 500000 / n_tokens)
+                      ELSE 0.0 END AS epochs
+          FROM j)
+    SELECT domain, n_tokens, round(share, 6) AS share,
+           round(target, 4) AS target_tokens,
+           round(epochs, 6) AS epochs,
+           round(epochs * n_tokens, 4) AS realized_tokens,
+           round(target - epochs * n_tokens, 4) AS shortfall
+    FROM p ORDER BY domain
 """
 
 # funnel twin: the curate_keeplist CTEs with an identical

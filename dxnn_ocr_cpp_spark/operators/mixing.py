@@ -145,3 +145,57 @@ def mix_sample(docs: DataFrame, rates: DataFrame,
                       docs[domain_col] == F.col("_mix_domain"), "left")
             .filter(F.coalesce(keep, F.lit(False)))
             .drop("_mix_domain", "_mix_thr"))
+
+
+def epoch_plan(domain_tokens: DataFrame, weights: DataFrame,
+               budget_tokens: int, max_epochs: float = 4.0) -> DataFrame:
+    """(domain, n_tokens, share, target_tokens, epochs,
+    realized_tokens, shortfall) — the data-constrained training plan:
+    how many EPOCHS of each domain fill a token budget at target
+    shares when domains may be repeated (Muennighoff et al. 2023:
+    up to ~4 epochs of repeated data retain most of fresh-data
+    value; beyond that returns collapse, so the cap is a first-class
+    argument, not a magic constant).
+
+      target_d   = share_d * budget
+      epochs_d   = min(max_epochs, target_d / n_tokens_d)  (fractional
+                   final epoch = a mix_sample rate over that domain)
+      realized_d = epochs_d * n_tokens_d
+      shortfall_d= target_d - realized_d  (> 0 iff the epoch cap bit)
+
+    Deliberately NO deficit redistribution across domains: that would
+    be an iterative fixed point (redistributing to a domain can push
+    IT to the cap), killing exact SQL replayability — and in practice
+    the operator is run, shortfalls inspected, weights adjusted, rerun
+    (the DoReMi loop). The one-shot plan is the replayable primitive.
+
+    Runs on the GROUP table only; weights normalized here (relative
+    weights fine, temperature_weights output plugs straight in).
+    Domains with weight 0 / absent from `weights` get share 0 —
+    present in the plan with target 0 (full outer join on the SMALL
+    tables, the mix_rates discipline).
+    """
+    dt = domain_tokens.select(
+        F.col(domain_tokens.columns[0]).alias("domain"),
+        F.col(domain_tokens.columns[1]).cast("long").alias("n_tokens"))
+    w = weights.select(F.col(weights.columns[0]).alias("domain"),
+                       F.col(weights.columns[1]).cast("double")
+                       .alias("_w"))
+    wsum = w.agg(F.sum("_w").alias("_ws"))
+    w = (w.crossJoin(F.broadcast(wsum))
+         .select("domain", (F.col("_w") / F.col("_ws")).alias("share")))
+    j = (dt.join(w, "domain", "full_outer")
+         .select("domain",
+                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                 F.coalesce("share", F.lit(0.0)).alias("share")))
+    target = F.col("share") * F.lit(float(budget_tokens))
+    epochs = F.when(F.col("n_tokens") > 0,
+                    F.least(F.lit(float(max_epochs)),
+                            target / F.col("n_tokens"))) \
+        .otherwise(F.lit(0.0))
+    realized = epochs * F.col("n_tokens")
+    return j.select("domain", "n_tokens", "share",
+                    target.alias("target_tokens"),
+                    epochs.alias("epochs"),
+                    realized.alias("realized_tokens"),
+                    (target - realized).alias("shortfall"))

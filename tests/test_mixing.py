@@ -152,3 +152,44 @@ class TestTemperature:
         counts = corpus.groupBy("domain").count()
         for w in temperature_weights(counts, tau=0.37).collect():
             assert w["weight"] == float(int(w["weight"]))
+
+
+class TestEpochPlan:
+    def plan(self, spark, budget, max_epochs=4.0):
+        from dxnn_ocr_cpp_spark.operators.mixing import epoch_plan
+        toks = spark.createDataFrame(
+            [("web", 1000), ("code", 100)], "domain string, n long")
+        w = spark.createDataFrame(
+            [("web", 0.5), ("code", 0.5)], "domain string, weight double")
+        return {r["domain"]: r for r in
+                epoch_plan(toks, w, budget, max_epochs).collect()}
+
+    def test_uncapped_fractional_epochs(self, spark):
+        p = self.plan(spark, budget=400)
+        # web: target 200 over 1000 avail -> 0.2 epochs, no shortfall
+        assert p["web"]["epochs"] == pytest.approx(0.2)
+        assert p["web"]["realized_tokens"] == pytest.approx(200.0)
+        assert p["web"]["shortfall"] == pytest.approx(0.0)
+
+    def test_cap_produces_shortfall(self, spark):
+        p = self.plan(spark, budget=2000)
+        # code: target 1000 over 100 avail -> wants 10 epochs, capped
+        # at 4 -> realized 400, shortfall 600
+        assert p["code"]["epochs"] == 4.0
+        assert p["code"]["realized_tokens"] == pytest.approx(400.0)
+        assert p["code"]["shortfall"] == pytest.approx(600.0)
+        # web unaffected by code's cap (no redistribution, by policy)
+        assert p["web"]["epochs"] == pytest.approx(1.0)
+        assert p["web"]["shortfall"] == pytest.approx(0.0)
+
+    def test_unweighted_domain_rides_with_zero_target(self, spark):
+        from dxnn_ocr_cpp_spark.operators.mixing import epoch_plan
+        toks = spark.createDataFrame(
+            [("web", 1000), ("spam", 500)], "domain string, n long")
+        w = spark.createDataFrame([("web", 1.0)],
+                                  "domain string, weight double")
+        p = {r["domain"]: r for r in
+             epoch_plan(toks, w, 100).collect()}
+        assert p["spam"]["share"] == 0.0
+        assert p["spam"]["epochs"] == 0.0
+        assert p["spam"]["target_tokens"] == 0.0
