@@ -218,6 +218,12 @@ HEADLINE = [
     "containment_keeplist",
     "host_trustrank",
     "compression_quality",
+    "dataset_mix_temperature",
+    "meta_robots_gate",
+    "script_mix",
+    "curation_funnel",
+    "host_hits",
+    "epoch_plan",
 ]
 
 
