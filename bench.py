@@ -263,6 +263,20 @@ def _proc_stat_busy() -> float:
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
 
+def _proc_stat_steal() -> float:
+    """Hypervisor steal seconds since boot (/proc/stat field 8): time
+    this VM's vCPUs were runnable but the host ran someone else. Steal
+    accrues only under demand, so a delta across a measured leg reads
+    how much of THIS leg's core budget the neighbor took — the direct
+    signal for 'the measurement ran on less machine than it was
+    promised'. 0 on bare metal / steal-less hypervisors."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal / os.sysconf("SC_CLK_TCK")
+
+
 def scaling_worker(cores: int, corpus: str) -> dict:
     """Runs in a child JVM: extract the corpus at local[cores]."""
     sys.path.insert(0, str(REPO))
@@ -303,13 +317,14 @@ def scaling_worker(cores: int, corpus: str) -> dict:
         n = docs.count()
 
         def run() -> tuple:
-            c0 = _proc_stat_busy()
+            c0, s0 = _proc_stat_busy(), _proc_stat_steal()
             t0 = time.monotonic()
             # no repartition: the corpus layout already provides ~200
             # balanced splits; a shuffle of the html bytes would only
             # add disk traffic (hot path stays zero-shuffle)
             _materialize(extract(docs))
-            return time.monotonic() - t0, _proc_stat_busy() - c0
+            return (time.monotonic() - t0, _proc_stat_busy() - c0,
+                    _proc_stat_steal() - s0)
 
         # warm pass: spawns every Python worker + JITs the plan
         # (reference keeps only post-warm runs, benchmark.cpp:184-222).
@@ -338,7 +353,7 @@ def scaling_worker(cores: int, corpus: str) -> dict:
                 F.sum(F.length("text"))).collect()[0][0] or 0
             chars_cache.write_text(json.dumps(
                 {"total_chars": total_chars, "code": code_key}))
-        wall, busy = run()
+        wall, busy, steal = run()
         # cores_used exposes the local-mode accounting gap the raw
         # N->4N ratio hides: a local[8] leg on a 32-vCPU box lets the
         # JVM's scan/Arrow/GC threads ride the 24 idle cores for free,
@@ -352,6 +367,12 @@ def scaling_worker(cores: int, corpus: str) -> dict:
                 "chars_per_sec": round(total_chars / wall, 1),
                 "busy_cpu_sec": round(busy, 1),
                 "cores_used": round(busy / wall, 2),
+                # fraction of this leg's nominal core budget the
+                # hypervisor gave to someone else during the measured
+                # pass (cpuset-pinned legs: the rest of the box is
+                # idle and demands ~nothing, so system-wide steal is
+                # this leg's steal)
+                "steal_frac": round(steal / (wall * cores), 4),
                 # cpuset actually applied to this leg (taskset is set
                 # by the parent; report what the child observed)
                 "affinity": len(os.sched_getaffinity(0))}
@@ -413,7 +434,8 @@ def per_core_ratio(hi_round: dict, lo_a: dict, lo_b: dict) -> float | None:
 
 def window_unstable(bracket_probes: list, eff_rounds: list,
                     eff: float, ceiling: float,
-                    dps: tuple | None = None) -> bool:
+                    dps: tuple | None = None,
+                    max_steal: float = 0.0) -> bool:
     """Validity of a scaling window — host-side AND engine-side.
 
     Host side: a ceiling probe > 1.05 is physically impossible under
@@ -443,13 +465,25 @@ def window_unstable(bracket_probes: list, eff_rounds: list,
     wall slower than local[8], while a standalone worker minutes
     later hit full throughput). This check is specific to
     embarrassingly-parallel jobs — a shuffling job could honestly
-    scale negatively."""
+    scale negatively.
+
+    Steal side: /proc/stat steal accounting per measured leg. A leg
+    whose steal fraction exceeds 5% of its core budget ran on less
+    machine than its core count claims — the hypervisor gave those
+    cycles to a neighbor, which hits the wide (all-core) leg far
+    harder than a narrow pinned leg and so fakes an engine scaling
+    defect. Observed: a window where both wide rounds agreed at ~0.37
+    (spread fine, probes fine — every prior gate passed) while
+    load-period steal ran ~13%; the same code measured 0.53+ in a
+    low-steal window. Unlike the drift gates this one is magnitude-
+    blind and reads a counter the engine cannot influence."""
     lo_dps, hi_dps = dps if dps is not None else (0.0, 1.0)
     return max(bracket_probes) > 1.05 \
         or (max(eff_rounds) - min(eff_rounds) > 0.2) \
         or eff > 1.02 \
         or (eff / ceiling) > 1.05 \
-        or hi_dps <= lo_dps
+        or hi_dps <= lo_dps \
+        or max_steal > 0.05
 
 
 def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
@@ -540,10 +574,24 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     def healthy(p: float) -> bool:
         return floor <= p <= 1.02
 
-    probes = [cpu_ceiling(lo, hi)]
-    while not healthy(probes[-1]) and len(probes) < 5:
+    def probe() -> tuple:
+        """Ceiling probe + the hypervisor steal fraction observed
+        while the probe loaded the box — a high-steal window fails
+        the gate even when the probe's lo->hi RATIO happens to look
+        healthy (both phases equally robbed)."""
+        s0, t0 = _proc_stat_steal(), time.monotonic()
+        p = cpu_ceiling(lo, hi)
+        dt = max(time.monotonic() - t0, 1e-6)
+        return p, (_proc_stat_steal() - s0) / (dt * hi)
+
+    probes, gate_steals = [], []
+    p, st = probe()
+    probes.append(p); gate_steals.append(st)
+    while (not healthy(probes[-1]) or gate_steals[-1] > 0.05) \
+            and len(probes) < 5:
         time.sleep(90)
-        probes.append(cpu_ceiling(lo, hi))
+        p, st = probe()
+        probes.append(p); gate_steals.append(st)
     gate_probe = probes[-1]  # the probe that admitted measurement
 
     for _ in range(min_rounds):
@@ -583,9 +631,12 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     # 0.71 run read as engine inefficiency
     valid = [p for p in probes if p <= 1.02]
     ceiling = max(valid) if valid else statistics.median(probes)
+    max_steal = max((r.get("steal_frac", 0.0) or 0.0)
+                    for r in lo_seq + hi_seq)
     unstable = window_unstable(
         [gate_probe, post], eff_rounds, eff, ceiling,
-        dps=(results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]))
+        dps=(results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]),
+        max_steal=max_steal)
     pc_rounds = per_core_ratios()
     pc = {}
     if pc_rounds:
@@ -608,8 +659,11 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
         "efficiency_per_round": [round(e, 4) for e in eff_rounds],
         "host_cpu_ceiling": ceiling,
         "host_ceiling_probes": [round(p, 4) for p in probes],
+        "gate_steal_probes": [round(s, 4) for s in gate_steals],
         # engine scaling relative to what the host itself can scale
         "efficiency_vs_host_ceiling": round(eff / ceiling, 4),
+        # worst per-leg hypervisor steal during the measured passes
+        "max_steal_frac": round(max_steal, 4),
         "host_window_unstable": unstable,
     }
 

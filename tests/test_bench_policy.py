@@ -31,6 +31,19 @@ class TestWindowUnstable:
             bracket_probes=[0.95], eff_rounds=[0.80, 1.01, 0.95],
             eff=0.95, ceiling=0.95)
 
+    def test_high_steal_flags_even_when_rounds_agree(self):
+        # the observed failure: both wide rounds agreed at ~0.37
+        # (spread fine, probes fine) while the hypervisor stole ~13%
+        # of the load-period core budget
+        assert bench.window_unstable(
+            bracket_probes=[0.84, 0.82], eff_rounds=[0.3517, 0.387],
+            eff=0.3694, ceiling=0.8406, max_steal=0.131)
+
+    def test_low_steal_does_not_flag(self):
+        assert not bench.window_unstable(
+            bracket_probes=[0.95, 0.97], eff_rounds=[0.94, 0.96, 0.95],
+            eff=0.95, ceiling=0.97, max_steal=0.02)
+
     def test_superunit_engine_median_flags(self):
         # the exact r2 numbers: median 1.0508 vs ceiling 0.9541
         assert bench.window_unstable(
