@@ -770,6 +770,20 @@ def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
         f"{ext['efficiency_vs_host_ceiling']})",
         "",
     ]
+    if ext.get("max_steal_frac") is not None:
+        lines += [
+            f"Hypervisor-steal verification (/proc/stat steal delta "
+            f"per measured leg): worst leg lost "
+            f"{round(100 * ext['max_steal_frac'], 2)}% of its core "
+            f"budget to neighbor tenants; windows where any leg loses "
+            f">5% are invalidated rather than published (steal robs "
+            f"the all-core leg far more than a narrow pinned leg — "
+            f"measured up to 13% under whole-box load vs 0.1% on a "
+            f"pinned 8-core leg — so un-gated it fakes an engine "
+            f"scaling defect a real cluster's dedicated cores would "
+            f"never see).",
+            "",
+        ]
     if ext.get("cpuset_pinned") and ext["scaling_efficiency"] > 1.0:
         lines += [
             f"A ratio slightly above 1.0 under pinning is "
