@@ -2906,20 +2906,225 @@ def q_script_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# ---------------- planted-recall rows for the xxhash/blake families --
+
+# clone ids live far above any real doc_id (sf1 would be ~6M docs)
+_CLONE_OFFSET = 100_000_000
+
+
+def _planted_clone_docs(spark, sf_dir, mod: int, rem: int):
+    """(doc_id, text) frame planting ground-truth near-dup pairs for
+    the ENGINE-NATIVE hash families (xxhash64 minhash, blake2b simhash,
+    xxhash winnowing) whose mixing DuckDB cannot replay: every source
+    doc with doc_id % mod == rem (and enough text to fingerprint) gets
+    a clone at doc_id + 100_000_000 with IDENTICAL text. Identical text
+    means identical shingle/token/k-gram sets, hence identical
+    signatures under ANY hash family — so each (src, src+offset) pair
+    is a deterministic, hash-independent must-recover: minhash collides
+    in every band, simhash sits at hamming 0, winnowing shares its full
+    fingerprint set. The oracle enumerates the planted pairs by pure
+    doc_id arithmetic — a value-level driver check for the families
+    that previously had rows-only rows (their pair-mining logic is
+    separately certified end-to-end by the md5-family twins)."""
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+         .filter((F.col("doc_id") % mod == rem)
+                 & (F.length("text") >= 100)))
+    clones = d.select((F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"),
+                      "text")
+    return d.unionByName(clones)
+
+
+def _planted_pair_sql(mod: int, rem: int, extra_cols: str = "") -> str:
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS a,
+           CAST(doc_id + {_CLONE_OFFSET} AS BIGINT) AS b{extra_cols}
+    FROM documents
+    WHERE doc_id % {mod} = {rem} AND length(text) >= 100
+    ORDER BY a"""
+
+
+def q_minhash_planted_recall(spark, sf_dir):
+    """xxhash64 MinHash+LSH over the planted-clone corpus — the
+    value-level driver row for the engine-native family (the md5 twin
+    certifies the pair-mining logic; THIS certifies that the xxhash64
+    signature build + banding loses none of the k planted pairs and
+    scores each at exact Jaccard 1.0). Output filtered to the planted
+    pair ids by pure arithmetic (b == a + offset), so extra template
+    near-dups among the sources never enter the compare."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import minhash_lsh_pairs
+    d = _planted_clone_docs(spark, sf_dir, 17, 3)
+    out = minhash_lsh_pairs(d, threshold=0.4, carry="ride_along")
+    return (out.filter(F.col("b") == F.col("a") + _CLONE_OFFSET)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"), "jaccard")
+            .orderBy("a"))
+
+
+def q_simhash_planted_recall(spark, sf_dir):
+    """blake2b SimHash over the planted-clone corpus: every planted
+    pair must surface at hamming 0 through the pigeonhole candidate
+    join — the value-level driver row for the engine-native bit
+    mixing (md5 twin certifies the join/filter logic)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.dedup import simhash_pairs
+    d = _planted_clone_docs(spark, sf_dir, 17, 3)
+    out = simhash_pairs(d, max_hamming=3)
+    return (out.filter(F.col("b") == F.col("a") + _CLONE_OFFSET)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("a"))
+
+
+def q_winnow_planted_recall(spark, sf_dir):
+    """xxhash winnowing over the planted-clone corpus: identical text
+    shares its entire fingerprint set, so min_common=1 must recover
+    every planted pair regardless of which window minima the hash
+    mixing selects. n_common itself is hash-dependent (distinct
+    selected fingerprints) and is deliberately NOT in the output —
+    presence of each pair is the hash-independent invariant."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.textstats import winnow_pairs
+    d = _planted_clone_docs(spark, sf_dir, 37, 5)
+    out = winnow_pairs(d, min_common=1, strategy="count")
+    return (out.filter(F.col("b") == F.col("a") + _CLONE_OFFSET)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"))
+            .orderBy("a"))
+
+
+# ---------------- per-row task_cfg driver row (X11 analog) ----------
+
+def q_task_config_mixed(spark, sf_dir):
+    """ONE batch mixing three extraction policies via the per-row
+    `task_cfg` struct (config.task_config_col + emit.span_filter — the
+    OCRTaskConfig analog, /root/reference/include/pipeline/
+    ocr_pipeline.h:59-77: per-REQUEST thresholds flowing through the
+    pipeline decoupled from engine init, ocr_pipeline.cpp:457-461).
+
+    The scored-block array is PLANTED arithmetic (score / char counts
+    are pure functions of (doc_id, block_id)), so the DuckDB oracle
+    replays the whole emission stage: per-policy coalesce fallback to
+    run-level defaults, the 4-predicate keep filter, canonical
+    (pos, depth, block_id) ordering, re-index, and '\\n' concat.
+    Policies: doc_id%3==0 raises box_thresh to 0.75; ==1 raises
+    rec_score_thresh to 0.65 and min_text_chars to 12; ==2 passes an
+    all-NULL struct (pure fallback). Still zero shuffle, zero Python —
+    per-row variation costs nothing in plan shape
+    (tests/test_plans.py discipline)."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.config import (DEFAULT_CONFIG,
+                                           TASK_CONFIG_COL,
+                                           task_config_col)
+    from dxnn_ocr_cpp_spark.operators.emit import (with_final_text,
+                                                   with_spans)
+    d = _t(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id")
+
+    def block(j: int):
+        return F.struct(
+            F.lit(j).cast("int").alias("block_id"),
+            F.lit(j).cast("int").alias("pos"),
+            F.lit(j % 3).cast("int").alias("depth"),
+            F.concat(F.lit(f"blk{j}_"), i.cast("string")).alias("text"),
+            (((i * 7 + j * 13) % 100).cast("double") / 100.0)
+            .alias("score"),
+            (1 + (i + j) % 40).cast("int").alias("n_text_chars"),
+            ((i * (j + 1)) % 30).cast("int").alias("n_link_chars"),
+        )
+
+    m = i % 3
+    scored = d.select(
+        "doc_id",
+        F.array(*[block(j) for j in range(4)]).alias("scored"),
+        F.when(m == 0, task_config_col(box_thresh=0.75))
+         .when(m == 1, task_config_col(rec_score_thresh=0.65,
+                                       min_text_chars=12))
+         .otherwise(task_config_col()).alias(TASK_CONFIG_COL))
+    out = with_final_text(
+        with_spans(scored, DEFAULT_CONFIG, task_col=TASK_CONFIG_COL))
+    return (out.select("doc_id", m.cast("long").alias("policy"),
+                       F.size("spans").cast("long").alias("n_spans"),
+                       "text")
+            .orderBy("doc_id"))
+
+
+# ---------------- driver-visible streaming row ----------------------
+
+def q_stream_dedup_urls(spark, sf_dir):
+    """The streaming url-dedup path (streaming.stream_dedup_urls:
+    dropDuplicatesWithinWatermark — bounded state, the 10^12-doc
+    crawler shape) driven end-to-end as a REAL streaming query:
+    documents-derived rows staged to parquet, readStream ->
+    watermark + dedup -> memory sink, availableNow trigger. Duplicate
+    rows are IDENTICAL by construction (every column derives from the
+    url group, not doc_id), so whichever physical row wins the race is
+    the same logical row and the output is deterministic — the DuckDB
+    twin replays it as DISTINCT over the group arithmetic. One
+    micro-batch (single staged file), so watermark expiry cannot
+    re-admit a duplicate. Reference analog: the bounded work-queue
+    ingest of /root/reference/src/pipeline/ocr_pipeline.cpp:353-355."""
+    _prep(spark)
+    import shutil
+    import uuid
+    from dxnn_ocr_cpp_spark.streaming import (read_documents_stream,
+                                              stream_dedup_urls)
+    g = F.col("doc_id") % 500
+    staged = (_t(spark, sf_dir, "documents")
+              .select(
+                  F.concat(F.lit("https://h"), (g % 17).cast("string"),
+                           F.lit(".example.org/page/"),
+                           g.cast("string")).alias("url"),
+                  (F.lit(1700000000).cast("long") + g * 60)
+                  .cast("timestamp").alias("warc_ts"),
+                  F.encode(F.concat(F.lit("<p>planted "),
+                                    g.cast("string"), F.lit("</p>")),
+                           "UTF-8").alias("html"),
+                  F.concat(F.lit("planted "), g.cast("string"))
+                  .alias("text"),
+                  F.lit("en").alias("lang")))
+    run = uuid.uuid4().hex[:12]
+    staging = f"/tmp/spark_graft_stream/in_{run}"
+    ckpt = f"/tmp/spark_graft_stream/ckpt_{run}"
+    table = f"stream_dedup_{run}"
+    staged.coalesce(1).write.mode("overwrite").parquet(staging)
+    q = (stream_dedup_urls(read_documents_stream(spark, staging))
+         .writeStream.format("memory").queryName(table)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(table)
+            .select("url", _epoch(F.col("warc_ts")).alias("ts"),
+                    F.length("text").cast("long").alias("n_chars"))
+            .orderBy("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's correctness window.
 
     The driver compares the FIRST 50 entries against ``oracle_sql()``
     (rows + schema + value-hash at sf0.01); everything past the window
     is still pinned by ``tests/test_oracle_parity.py`` but earns no
-    driver row. Ordering policy (round-3 fix for the round-2 blind
-    spot where 30 oracle-backed queries sat past position 50):
+    driver row. Ordering policy — the window ROTATES each round so
+    every oracle-backed query eventually earns a driver row
+    (round-4 rotation per VERDICT r3 ask #2):
 
       1. composed end-to-end pipelines (extraction, fuzzy dedup,
          crawl frontier, curation, classifier, PageRank, DSIR, ...)
-      2. per-operator oracle twins for the LLM-data-pipeline family
-      3. TPC-H-ish / events / utility twins (all green since r1-r2;
-         the ones past the window keep their pytest oracle pin)
+         stay in slots 1-15 every round;
+      2. slots 16-50 hold the queries with NO prior driver row:
+         this round the new streaming / per-row-task_cfg /
+         planted-recall rows, then the 24 never-certified operator
+         twins, then re-pins of verdict-named families;
+      3. queries certified in earlier rounds (CORRECTNESS_r0*.json)
+         move past the window — their oracle pin stays live in
+         tests/test_oracle_parity.py, which runs the same
+         rows+schema+hash compare;
       4. the genuinely hash-mixing-bound ``no_oracle`` families LAST
          so they can never occupy a checkable slot.
     """
@@ -2940,7 +3145,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "snapshot_diff": q_snapshot_diff,
-        # -- tier 2: LLM-data-pipeline operator twins --
+        # -- tier 2 (rotated r4): never-driver-certified rows first --
+        "stream_dedup_urls": q_stream_dedup_urls,
+        "task_config_mixed": q_task_config_mixed,
+        "minhash_planted_recall": q_minhash_planted_recall,
+        "simhash_planted_recall": q_simhash_planted_recall,
+        "winnow_planted_recall": q_winnow_planted_recall,
+        "containment_pairs": q_containment_pairs,
+        "containment_keeplist": q_containment_keeplist,
+        "host_trustrank": q_host_trustrank,
+        "host_hits": q_host_hits,
+        "compression_quality": q_compression_quality,
+        "cms_term_counts": q_cms_term_counts,
+        "crawl_traps": q_crawl_traps,
+        "host_quality_prior": q_host_quality_prior,
+        "host_template_lines": q_host_template_lines,
+        "incremental_refresh": q_incremental_refresh,
+        "paragraph_dedup": q_paragraph_dedup,
+        "crawl_schedule": q_crawl_schedule,
+        "image_dhash_pairs": q_image_dhash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "media_dedup_keeplist": q_media_dedup_keeplist,
+        "publish_dates": q_publish_dates,
+        "robots_sitemaps": q_robots_sitemaps,
+        "canonical_collapse": q_canonical_collapse,
+        "epoch_plan": q_epoch_plan,
+        "curation_funnel": q_curation_funnel,
+        "dataset_mix_temperature": q_dataset_mix_temperature,
+        "meta_robots_gate": q_meta_robots_gate,
+        "script_mix": q_script_mix,
+        "corpus_stats": q_corpus_stats,
+        # re-pins of verdict-named families (r1/r2-certified)
+        "events_asof_join": q_events_asof_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "sitemap_harvest": q_sitemap_harvest,
+        "media_decode": q_media_decode,
+        # ---- driver window (first 50) ends here ----
+        # -- tier 3: oracle-backed but past the window (pytest-pinned
+        #    by test_oracle_parity.py, same compare as the driver;
+        #    every one of these holds a green row in
+        #    CORRECTNESS_r01/r02/r03.json) --
         "lang_spans": q_lang_spans,
         "lm_quality": q_lm_quality,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2977,31 +3223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_scale_planted":
             q_embedding_cosine_dups_scale_planted,
         "semantic_dedup_planted": q_semantic_dedup_planted,
-        # ---- driver window (first 50) ends here ----
-        # -- tier 3: oracle-backed but past the window (pytest-pinned
-        #    by test_oracle_parity.py, same compare as the driver) --
-        "containment_pairs": q_containment_pairs,
-        "containment_keeplist": q_containment_keeplist,
-        "host_trustrank": q_host_trustrank,
-        "compression_quality": q_compression_quality,
-        "cms_term_counts": q_cms_term_counts,
-        "crawl_traps": q_crawl_traps,
-        "host_quality_prior": q_host_quality_prior,
-        "corpus_stats": q_corpus_stats,
         "embedding_cosine_dups": q_embedding_cosine_dups,
-        "host_template_lines": q_host_template_lines,
-        "sitemap_harvest": q_sitemap_harvest,
         "rss_harvest": q_rss_harvest,
-        "incremental_refresh": q_incremental_refresh,
-        "paragraph_dedup": q_paragraph_dedup,
-        "crawl_schedule": q_crawl_schedule,
-        "media_decode": q_media_decode,
-        "image_dhash_pairs": q_image_dhash_pairs,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "media_dedup_keeplist": q_media_dedup_keeplist,
-        "publish_dates": q_publish_dates,
-        "robots_sitemaps": q_robots_sitemaps,
-        "canonical_collapse": q_canonical_collapse,
         "nfc_normalize": q_nfc_normalize,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -3011,10 +3234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": q_pdf_roundtrip,
         "base64_roundtrip": q_base64_roundtrip,
         "validate_rejects": q_validate_rejects,
-        "events_asof_join": q_events_asof_join,
-        "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "events_json_props": q_events_json_props,
         "latency_percentiles": q_latency_percentiles,
         "url_host_salt_plan": q_url_host_salt_plan,
         "quota_sample": q_quota_sample,
@@ -3027,12 +3246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_nationkeys": q_union_nationkeys,
         "group_concat_customers": q_group_concat_customers,
         "len_bucket_histogram": q_len_bucket_histogram,
-        "epoch_plan": q_epoch_plan,
-        "host_hits": q_host_hits,
-        "curation_funnel": q_curation_funnel,
-        "dataset_mix_temperature": q_dataset_mix_temperature,
-        "meta_robots_gate": q_meta_robots_gate,
-        "script_mix": q_script_mix,
         # -- tier 4: no_oracle families (hash-mixing / iterative) LAST --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -5864,12 +6077,64 @@ FROM h CROSS JOIN g
 ORDER BY host"""
 
 
+# planted-recall rows: the oracle enumerates the planted clone pairs
+# by pure doc_id arithmetic (identical text -> identical signatures
+# under any hash family -> guaranteed recovery; see
+# _planted_clone_docs). jaccard is exactly 1.0 (identical shingle
+# sets), hamming exactly 0.
+ORACLES["minhash_planted_recall"] = _planted_pair_sql(
+    17, 3, ",\n           CAST(1.0 AS DOUBLE) AS jaccard")
+ORACLES["simhash_planted_recall"] = _planted_pair_sql(
+    17, 3, ",\n           CAST(0 AS BIGINT) AS hamming")
+ORACLES["winnow_planted_recall"] = _planted_pair_sql(37, 5)
+
+# per-row task_cfg emission replay: same planted block arithmetic,
+# same coalesce-fallback thresholds (box 0.5 / rec 0.0 / min_chars 3 /
+# max link density 0.66 are DEFAULT_CONFIG values), same canonical
+# (pos, depth, block_id) = j ordering and '\n' concat
+ORACLES["task_config_mixed"] = """
+WITH blocks AS (
+  SELECT d.doc_id AS doc_id, j.j AS j,
+         ((d.doc_id * 7 + j.j * 13) % 100) / 100.0 AS score,
+         1 + (d.doc_id + j.j) % 40 AS ntc,
+         (d.doc_id * (j.j + 1)) % 30 AS nlc,
+         'blk' || j.j || '_' || d.doc_id AS btext,
+         d.doc_id % 3 AS m
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(j)),
+k AS (
+  SELECT *,
+         (score >= CASE WHEN m = 0 THEN 0.75 ELSE 0.5 END
+          AND score >= CASE WHEN m = 1 THEN 0.65 ELSE 0.0 END
+          AND ntc >= CASE WHEN m = 1 THEN 12 ELSE 3 END
+          AND nlc / CAST(greatest(ntc, 1) AS DOUBLE) <= 0.66) AS keep
+  FROM blocks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(m AS BIGINT) AS policy,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_spans,
+       coalesce(string_agg(btext, chr(10) ORDER BY j)
+                FILTER (WHERE keep), '') AS text
+FROM k GROUP BY doc_id, m ORDER BY doc_id"""
+
+# streaming url-dedup: duplicates are identical rows by construction,
+# so DISTINCT over the group arithmetic IS the expected output
+ORACLES["stream_dedup_urls"] = """
+WITH g AS (SELECT DISTINCT doc_id % 500 AS g FROM documents)
+SELECT 'https://h' || (g % 17) || '.example.org/page/' || g AS url,
+       CAST(1700000000 + g * 60 AS BIGINT) AS ts,
+       CAST(length('planted ' || g) AS BIGINT) AS n_chars
+FROM g ORDER BY url"""
+
+
 def oracle_sql() -> dict[str, str]:
     # minhash_lsh_pairs / simhash_pairs / winnow_pairs / embedding_lsh_topk /
     # embedding_ivf_topk / embedding_cosine_dups_scale are deliberately
     # omitted: probabilistic candidate sets whose hash mixing DuckDB
     # cannot replay -> driver rows-only check; each has an md5-family
-    # oracled twin and/or an internal exact-verify + pytest recall pin.
+    # oracled twin and/or an internal exact-verify + pytest recall pin,
+    # and (r4) the engine-native hash families additionally carry
+    # value-level planted-recall driver rows (minhash_planted_recall /
+    # simhash_planted_recall / winnow_planted_recall: clone pairs the
+    # xxhash64/blake2b pipelines provably must recover).
     # bpe_train / bpe_tokenize are likewise rows-only: BPE's iterative
     # argmax is not SQL-expressible; exact parity with a sequential
     # pure-Python reference is pinned in tests/test_bpe.py.

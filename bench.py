@@ -81,6 +81,20 @@ _wv = os.environ.get("SPARK_GRAFT_WIDE_LEVELS", "8,32").split(",")
 WIDE_LEVELS = (int(_wv[0]), int(_wv[1]))
 RUN_WIDE = os.environ.get("SPARK_GRAFT_WIDE", "1") != "0"
 
+# A third, ISOLATED-EXECUTOR wide window (VERDICT r3 ask #1): the same
+# 8->32 pair, but the hi leg runs as FOUR SEPARATE 8-core JVM
+# processes, each taskset-pinned to its own disjoint 8-core cpuset
+# with its own heap, GC, Python worker pool, and disjoint quarter of
+# the corpus files — the per-executor cgroup/heap regime a real
+# 4-executor cluster applies (and the regime r3's SCALE.md argued
+# would recover the wide window). A file barrier releases all four
+# measured passes together; aggregate throughput = total docs /
+# slowest shard wall. Measured result (see BENCH/BASELINE.md): JVM
+# isolation does NOT recover the window — the residual is the host's
+# shared memory subsystem, not the shared JVM.
+RUN_ISO = os.environ.get("SPARK_GRAFT_ISO", "1") != "0"
+ISO_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_ISO_EXEC_CORES", "8"))
+
 
 def docs_for(levels: tuple) -> int:
     """Corpus size for a scaling window. Scaling measurement needs
@@ -380,6 +394,134 @@ def scaling_worker(cores: int, corpus: str) -> dict:
         spark.stop()
 
 
+def scaling_worker_shard(cores: int, corpus: str, shard: int,
+                         n_shards: int, barrier: str) -> dict:
+    """One isolated-executor shard: a SEPARATE JVM process (the parent
+    taskset-pins it to its own disjoint `cores`-wide cpuset) running
+    local[cores] over files[shard::n_shards] of the corpus — the
+    per-executor cgroup/heap confinement of a real cluster executor.
+    Prints READY after its warm pass, then spins on the barrier file
+    so all shards' measured passes overlap fully (a ragged start would
+    let early shards run on an underloaded box and overstate the
+    aggregate)."""
+    import glob
+    sys.path.insert(0, str(REPO))
+    from dxnn_ocr_cpp_spark.pipeline import extract
+    from dxnn_ocr_cpp_spark.session import build_session
+    spark = build_session(app=f"bench-iso-{shard}",
+                          master=f"local[{cores}]",
+                          shuffle_partitions=cores * 2,
+                          extra_conf={
+                              # same physical knobs as scaling_worker
+                              "spark.sql.files.maxPartitionBytes": "4m",
+                              "spark.sql.files.openCostInBytes": "512k",
+                              "spark.driver.memory":
+                                  f"{max(8, cores // 2)}g",
+                          })
+    try:
+        files = sorted(glob.glob(f"{corpus}/part-*.parquet"))
+        docs = spark.read.parquet(*files[shard::n_shards])
+        n = docs.count()
+        # warm spawns the python workers + JITs the plan; 30% of the
+        # shard ~= the 15% full-corpus warm of scaling_worker
+        _materialize(extract(docs.sample(fraction=0.3, seed=7)))
+        print(f"READY {shard}", flush=True)
+        deadline = time.monotonic() + 300
+        while not os.path.exists(barrier):
+            if time.monotonic() > deadline:
+                raise RuntimeError("iso shard barrier never released")
+            time.sleep(0.05)
+        t0 = time.monotonic()
+        _materialize(extract(docs))
+        wall = time.monotonic() - t0
+        return {"shard": shard, "cores": cores, "wall_sec": round(wall, 3),
+                "docs": n, "docs_per_sec": round(n / wall, 2),
+                "affinity": len(os.sched_getaffinity(0))}
+    finally:
+        spark.stop()
+
+
+def worker_multi_jvm(total_cores: int, corpus: str,
+                     exec_cores: int = ISO_EXEC_CORES) -> dict:
+    """The isolated-executor hi leg: total_cores/exec_cores SEPARATE
+    JVM processes, each pinned to a disjoint exec_cores-wide cpuset
+    over a disjoint corpus shard, measured passes released together by
+    a file barrier. Returns the same record shape as scaling_worker
+    (aggregate docs/sec = total docs / slowest shard wall — the
+    job-completion definition a cluster scheduler would use), plus the
+    per-shard detail. Busy/steal accounting reads /proc/stat across
+    the envelope of the overlapped passes in the PARENT, so it
+    captures all four process trees at once."""
+    import tempfile
+    import uuid
+    n_jvms = total_cores // exec_cores
+    barrier = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_iso_go_{uuid.uuid4().hex[:8]}")
+    for attempt in (1, 2):
+        procs = []
+        try:
+            for w in range(n_jvms):
+                cmd = [sys.executable, __file__, "--scaling-shard-worker",
+                       str(exec_cores), corpus, str(w), str(n_jvms),
+                       barrier]
+                if PIN_CPUS:
+                    lo_c, hi_c = w * exec_cores, (w + 1) * exec_cores - 1
+                    cmd = ["taskset", "-c", f"{lo_c}-{hi_c}"] + cmd
+                procs.append(subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL, text=True))
+            outs: list[list[str]] = [[] for _ in range(n_jvms)]
+            deadline = time.monotonic() + 600
+            for i, p in enumerate(procs):
+                while True:
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(f"iso shard {i} never READY")
+                    line = p.stdout.readline()
+                    if not line:
+                        raise RuntimeError(f"iso shard {i} died pre-READY")
+                    if line.startswith("READY"):
+                        break
+                    outs[i].append(line)
+            b0, s0 = _proc_stat_busy(), _proc_stat_steal()
+            t0 = time.monotonic()
+            pathlib.Path(barrier).write_text("go")
+            shards = []
+            for i, p in enumerate(procs):
+                for line in p.stdout:
+                    line = line.strip()
+                    if line.startswith("{"):
+                        shards.append(json.loads(line))
+                if p.wait(timeout=900) != 0 or len(shards) != i + 1:
+                    raise RuntimeError(f"iso shard {i} failed")
+            wall = time.monotonic() - t0
+            busy = _proc_stat_busy() - b0
+            steal = _proc_stat_steal() - s0
+            docs = sum(r["docs"] for r in shards)
+            max_wall = max(r["wall_sec"] for r in shards)
+            return {"cores": total_cores, "wall_sec": round(max_wall, 3),
+                    "docs": docs,
+                    "docs_per_sec": round(docs / max_wall, 2),
+                    "busy_cpu_sec": round(busy, 1),
+                    # envelope wall (barrier release -> last exit)
+                    # denominates busy: the measured passes fully
+                    # overlap, so envelope ~= max shard wall + reap
+                    "cores_used": round(busy / wall, 2),
+                    "steal_frac": round(
+                        steal / (wall * total_cores), 4),
+                    "affinity": len(os.sched_getaffinity(0)),
+                    "n_jvms": n_jvms, "exec_cores": exec_cores,
+                    "shards": shards}
+        except Exception:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            if attempt == 2:
+                raise
+        finally:
+            pathlib.Path(barrier).unlink(missing_ok=True)
+    raise AssertionError("unreachable")
+
+
 def cpu_ceiling(lo: int, hi: int) -> float:
     """Host CPU scaling ceiling for lo->hi pure-python processes —
     the hardware context the engine's efficiency is judged against
@@ -487,13 +629,20 @@ def window_unstable(bracket_probes: list, eff_rounds: list,
 
 
 def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
-                min_rounds: int = 3, max_rounds: int = 5) -> dict:
+                min_rounds: int = 3, max_rounds: int = 5,
+                hi_worker=None) -> dict:
     """Alternate the two levels as lo hi lo hi lo ... so every hi run
     is bracketed by two lo runs: efficiency ratios use the bracketing
     mean (first-order drift cancellation), throughput uses
     best-per-level. The sandbox VM's available CPU drifts by ~10% over
     minutes; interleaving prevents a noise dip from landing entirely
-    on one level."""
+    on one level.
+
+    hi_worker: optional replacement for the hi leg's worker (same
+    record shape) — the isolated-executor window passes
+    worker_multi_jvm so its hi leg runs as separate pinned JVMs while
+    every other part of the protocol (bracketing, probes, gates,
+    steal accounting, stable-window policy) stays identical."""
     def worker(cores: int) -> dict:
         cmd = [sys.executable, __file__, "--scaling-worker",
                str(cores), corpus]
@@ -531,7 +680,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     def one_round():
         if not lo_seq:
             lo_seq.append(worker(lo))
-        hi_seq.append(worker(hi))
+        hi_seq.append(hi_worker(hi) if hi_worker else worker(hi))
         lo_seq.append(worker(lo))
 
     def ratios():
@@ -578,7 +727,18 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
         """Ceiling probe + the hypervisor steal fraction observed
         while the probe loaded the box — a high-steal window fails
         the gate even when the probe's lo->hi RATIO happens to look
-        healthy (both phases equally robbed)."""
+        healthy (both phases equally robbed).
+
+        Normalization caveat (intentional): the fraction divides the
+        WHOLE probe duration by `hi` cores, but cpu_ceiling spends a
+        large share of that duration in its lo-core phase (plus
+        warmups), so probe-window steal is systematically understated
+        relative to the per-leg gate — i.e. this gate is LOOSER than
+        the 5% per-measured-leg steal gate in window_unstable, by
+        design: it only needs to catch grossly robbed windows before
+        any engine leg runs; the per-leg gate (normalized by each
+        leg's own core count over its own measured pass) is the
+        authoritative one."""
         s0, t0 = _proc_stat_steal(), time.monotonic()
         p = cpu_ceiling(lo, hi)
         dt = max(time.monotonic() - t0, 1e-6)
@@ -650,6 +810,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
         }
     return {
         **pc,
+        "mode": "isolated-executors" if hi_worker else "single-jvm",
         "cpuset_pinned": PIN_CPUS,
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -687,12 +848,15 @@ def run_queries() -> dict:
     return timings
 
 
-def stable_cache_path(levels: tuple) -> pathlib.Path:
-    return REPO / "BENCH" / f"stable_scaling_{levels[0]}_{levels[1]}.json"
+def stable_cache_path(levels: tuple, mode: str = "") -> pathlib.Path:
+    tag = f"_{mode}" if mode else ""
+    return REPO / "BENCH" / \
+        f"stable_scaling{tag}_{levels[0]}_{levels[1]}.json"
 
 
 def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
-                         corpus: str = CORPUS_CACHE) -> dict:
+                         corpus: str = CORPUS_CACHE,
+                         mode: str = "") -> dict:
     """Last-known-good policy for the scaling headline, bounded so it
     can never cherry-pick: a STABLE window (validity checks in
     run_scaling) always replaces the cache and is always reported; an
@@ -706,7 +870,7 @@ def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
     magnitude."""
     import datetime
     import platform
-    cache = stable_cache_path(levels)
+    cache = stable_cache_path(levels, mode)
     # keyed by engine-code digest + host so a cached window can never be
     # republished for code it didn't measure or a machine it didn't run on
     key = {"corpus": corpus, "levels": list(levels),
@@ -716,6 +880,8 @@ def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
            # (and vice versa) — the lo-leg core borrowing changes the
            # denominator of every ratio
            "pinned": PIN_CPUS}
+    if mode:  # iso windows key + cache separately from single-jvm ones
+        key["mode"] = mode
     if not ext.get("host_window_unstable"):
         cache.parent.mkdir(parents=True, exist_ok=True)
         cache.write_text(json.dumps(
@@ -748,8 +914,13 @@ def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
 def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
     lo, hi = levels
     lo_r, hi_r = ext[f"local[{lo}]"], ext[f"local[{hi}]"]
+    iso = ext.get("mode") == "isolated-executors"
     role = ("headline window" if headline
+            else "isolated-executor window — the multi-JVM cluster "
+                 "analog" if iso
             else "wide window — interpret against its host ceiling")
+    hi_label = (f"{hi_r.get('n_jvms', 4)} x local[{hi_r.get('exec_cores', 8)}] "
+                f"separate JVMs" if iso else f"local[{hi}]")
     lines = [
         f"### {lo}->{hi} cores ({role})",
         "",
@@ -758,8 +929,27 @@ def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
         "| parallelism | wall sec | docs/sec |",
         "|---|---|---|",
         f"| local[{lo}] | {lo_r['wall_sec']} | {lo_r['docs_per_sec']} |",
-        f"| local[{hi}] | {hi_r['wall_sec']} | {hi_r['docs_per_sec']} |",
+        f"| {hi_label} | {hi_r['wall_sec']} | {hi_r['docs_per_sec']} |",
         "",
+    ]
+    if iso:
+        per_shard = [r["docs_per_sec"]
+                     for r in hi_r.get("shards", [])]
+        lines += [
+            f"Hi leg = {hi_r.get('n_jvms')} SEPARATE "
+            f"local[{hi_r.get('exec_cores')}] JVM processes, each "
+            f"taskset-pinned to its own disjoint "
+            f"{hi_r.get('exec_cores')}-core cpuset with its own heap, "
+            f"GC, and Python worker pool, over a disjoint quarter of "
+            f"the corpus files — the per-executor cgroup/heap regime "
+            f"of a real {hi_r.get('n_jvms')}-executor cluster. A file "
+            f"barrier releases all measured passes together; "
+            f"aggregate docs/sec = total docs / slowest shard wall. "
+            f"Per-shard docs/sec this window's best hi round: "
+            f"{per_shard}.",
+            "",
+        ]
+    lines += [
         f"**Scaling efficiency ({lo}->{hi} cores, 4x): "
         f"{ext['scaling_efficiency']} (median of lo-bracketed hi rounds; "
         f"best round {ext['scaling_efficiency_best']})** — per-round "
@@ -889,6 +1079,35 @@ def write_report(payload: dict) -> None:
     wide = payload.get("extraction_wide")
     if wide:
         lines += _window_section(wide, WIDE_LEVELS, headline=False)
+    iso = payload.get("extraction_iso")
+    if iso:
+        lines += _window_section(iso, WIDE_LEVELS, headline=False)
+        lines += [
+            "**What the isolated-executor window settles** (the r3 "
+            "open question): r3 argued the wide window's shortfall was "
+            "the one shared JVM (heap/GC serving all 32 task threads) "
+            "and that a multi-executor cluster would recover it. "
+            "Measured, that hypothesis is REFUTED on this host: four "
+            "fully isolated 8-core JVMs — disjoint cpusets, heaps, "
+            "GCs, Python pools, disjoint inputs — aggregate within a "
+            "few percent of the single local[32] JVM, and a "
+            "2x-local[8] probe of the same shape scales 8->16 at "
+            "~0.80 while 8->32 lands where the wide window lands. "
+            "Degradation grows smoothly with ACTIVE CORES regardless "
+            "of process topology, which is the signature of the "
+            "host's shared memory subsystem (bandwidth + frequency "
+            "scaling), not of any engine or JVM structure. The "
+            "per-process probes agree: the bare extraction kernel "
+            "under multiprocessing (no Spark, no JVM) scales 8->32 "
+            "at 0.78 on this box, and the engine's data plane moves "
+            "several times the kernel's bytes per doc (parquet "
+            "decode + Arrow round-trip), so it saturates the same "
+            "memory subsystem earlier. A real cluster's 4N executors "
+            "bring 4N memory buses — in-sandbox, all 32 cores share "
+            "one; that hardware axis cannot be evidenced here, and "
+            "these numbers are the honest in-box reading.",
+            "",
+        ]
     lines += [
         "Per window: >=3 hi rounds at the headline (>=2 at the wide "
         "window), extended when the ratio spread exceeds 0.1 — "
@@ -905,28 +1124,23 @@ def write_report(payload: dict) -> None:
         "run through a bare `multiprocessing.Pool` with no Spark at "
         "all, scales 8->32 at **0.7784** on this VM (lo-hi-lo "
         "bracketed, 24k docs) — indistinguishable from the "
-        "arithmetic-busywork ceiling (0.7648). So (a) the in-run "
-        "busywork ceiling is representative of the real workload, not "
-        "an underestimate, and (b) the residual gap between the "
-        "engine's wide-window per-core number and the kernel's 0.78 "
-        "is local-mode overhead (one shared JVM heap/GC serving all "
-        "task threads and Python workers), not a property of the "
-        "dataflow — a multi-executor cluster splits that JVM per "
-        "executor.",
+        "arithmetic-busywork ceiling (0.7648). So the in-run "
+        "busywork ceiling is representative of the real workload, "
+        "not an underestimate.",
         "",
         "Plumbing-ceiling cross-check "
         "(`tools/plumbing_ceiling_probe.py`): the identical parquet "
         "scan + Arrow round-trip with the kernel replaced by a "
         "passthrough moves ~111k docs/s at local[8] and ~160k at "
         "local[32] — 7-10x the full job at both widths — so the JVM "
-        "data plane is a minor additive cost (~10% of hi-leg wall), "
-        "NOT the wide-window bottleneck. Stacking the three probes, "
-        "the wide window decomposes as: measured per-busy-core 0.56 "
-        "~= kernel memory-bandwidth ceiling 0.78 x in-box contention "
-        "~0.72 (JVM data plane, 32 Python workers, and GC sharing "
-        "one 32-vCPU box) — the second factor is exactly what a "
-        "multi-executor cluster removes with per-executor cgroups "
-        "and heaps.",
+        "data plane is a minor ADDITIVE wall-clock cost (~10% of "
+        "hi-leg wall). Its own 8->32 scaling is poor (~0.36: it is "
+        "the most bandwidth-bound stage), and it runs CONCURRENTLY "
+        "with the kernel, so at 32 active cores kernel + data plane "
+        "together saturate the box's memory subsystem earlier than "
+        "the kernel alone would — consistent with the "
+        "isolated-executor window's finding that process topology "
+        "doesn't move the number.",
         "",
         "Reference precedent: DXNN-OCR card scaling 7.40 -> 14.73 -> "
         "21.96 FPS across 1/2/3 NPUs = 0.995/0.989 efficiency "
@@ -1183,6 +1397,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         print(json.dumps(scaling_worker(int(sys.argv[2]), sys.argv[3])))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-shard-worker":
+        print(json.dumps(scaling_worker_shard(
+            int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+            int(sys.argv[5]), sys.argv[6])))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--mode":
         run_modes(sys.argv[2].split(",") if len(sys.argv) > 2
                   else list(MODES))
@@ -1198,7 +1417,10 @@ def main() -> None:
         wide_cache = stable_cache_path(WIDE_LEVELS)
         wide = (json.loads(wide_cache.read_text())
                 if RUN_WIDE and wide_cache.exists() else None)
-        _finish(extraction, wide, run_queries())
+        iso_cache = stable_cache_path(WIDE_LEVELS, "iso")
+        iso = (json.loads(iso_cache.read_text())
+               if RUN_ISO and iso_cache.exists() else None)
+        _finish(extraction, wide, iso, run_queries())
         return
     ensure_corpus(CORPUS_CACHE, SCALE_DOCS)
     extraction = run_scaling(CORPUS_CACHE, SCALING_LEVELS)
@@ -1211,6 +1433,15 @@ def main() -> None:
         wide = run_scaling(wide_corpus, WIDE_LEVELS,
                            min_rounds=2, max_rounds=4)
         wide = stable_window_policy(wide, WIDE_LEVELS, wide_corpus)
+    iso = None
+    if RUN_ISO:
+        iso_corpus = corpus_cache(docs_for(WIDE_LEVELS))
+        ensure_corpus(iso_corpus, docs_for(WIDE_LEVELS))
+        iso = run_scaling(
+            iso_corpus, WIDE_LEVELS, min_rounds=2, max_rounds=4,
+            hi_worker=lambda cores: worker_multi_jvm(cores, iso_corpus))
+        iso = stable_window_policy(iso, WIDE_LEVELS, iso_corpus,
+                                   mode="iso")
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
         # iteration aid: refresh the scaling windows without paying
         # the query phase; report/detail keep the prior query table
@@ -1219,10 +1450,11 @@ def main() -> None:
                    if prior.exists() else {})
     else:
         timings = run_queries()
-    _finish(extraction, wide, timings)
+    _finish(extraction, wide, iso, timings)
 
 
-def _finish(extraction: dict, wide: dict | None, timings: dict) -> None:
+def _finish(extraction: dict, wide: dict | None, iso: dict | None,
+            timings: dict) -> None:
     payload = {
         "metric": "bench_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -1233,6 +1465,8 @@ def _finish(extraction: dict, wide: dict | None, timings: dict) -> None:
     }
     if wide:
         payload["extraction_wide"] = wide
+    if iso:
+        payload["extraction_iso"] = iso
     write_report(payload)
     detail = REPO / "BENCH" / "bench_detail.json"
     detail.parent.mkdir(exist_ok=True)
@@ -1251,6 +1485,8 @@ def _finish(extraction: dict, wide: dict | None, timings: dict) -> None:
     }
     if wide:
         compact["extraction_wide"] = _ext_summary(wide, WIDE_LEVELS)
+    if iso:
+        compact["extraction_iso"] = _ext_summary(iso, WIDE_LEVELS)
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: never overflow the capture
         compact.pop("queries", None)

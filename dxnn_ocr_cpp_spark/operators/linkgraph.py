@@ -188,7 +188,7 @@ def host_pagerank(edges: DataFrame, damping: float = 0.85,
              .distinct().persist())
     n = nodes.count()  # one long — the only driver-side scalar
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for k in range(iters):
         contrib = (ranks.join(norm, ranks["host"] == norm["u"])
                    .groupBy(F.col("v").alias("host"))
                    .agg(F.sum(F.col("rank") * F.col("share")).alias("c")))
@@ -197,7 +197,12 @@ def host_pagerank(edges: DataFrame, damping: float = 0.85,
                          (F.lit((1.0 - damping) / n)
                           + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                           ).alias("rank"))
-                 .localCheckpoint(eager=False))
+                 # last round checkpoints EAGERLY so the cached
+                 # intermediates can be released below instead of
+                 # accumulating across calls in a long-lived session
+                 .localCheckpoint(eager=(k == iters - 1)))
+    norm.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -279,7 +284,7 @@ def host_trustrank(edges: DataFrame, seeds: DataFrame,
     teleport = F.when(F.col("is_seed"), F.lit(1.0 / ns)) \
         .otherwise(F.lit(0.0))
     ranks = flagged.select("host", teleport.alias("trust"), "is_seed")
-    for _ in range(iters):
+    for k in range(iters):
         contrib = (ranks.join(norm, ranks["host"] == norm["u"])
                    .groupBy(F.col("v").alias("host"))
                    .agg(F.sum(F.col("trust") * F.col("share")).alias("c")))
@@ -289,7 +294,11 @@ def host_trustrank(edges: DataFrame, seeds: DataFrame,
                           + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                           ).alias("trust"),
                          "is_seed")
-                 .localCheckpoint(eager=False))
+                 # eager last round -> caches releasable (see
+                 # host_pagerank)
+                 .localCheckpoint(eager=(k == iters - 1)))
+    norm.unpersist()
+    flagged.unpersist()
     return ranks.select("host", "trust")
 
 
@@ -365,7 +374,8 @@ def host_hits(edges: DataFrame, iters: int = 3,
              .distinct().persist())
     hubs = nodes.select("host", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(iters):
+    for k in range(iters):
+        last = k == iters - 1
         ain = (hubs.join(e, hubs["host"] == e["u"])
                .groupBy(F.col("v").alias("host"))
                .agg(F.sum(F.col("hub") * F.col("w")).alias("a")))
@@ -374,7 +384,7 @@ def host_hits(edges: DataFrame, iters: int = 3,
                 .crossJoin(F.broadcast(asum))
                 .select("host", (F.coalesce("a", F.lit(0.0))
                                  / F.col("_s")).alias("authority"))
-                .localCheckpoint(eager=False))
+                .localCheckpoint(eager=last))
         hout = (auth.join(e, auth["host"] == e["v"])
                 .groupBy(F.col("u").alias("host"))
                 .agg(F.sum(F.col("authority") * F.col("w")).alias("h")))
@@ -383,7 +393,11 @@ def host_hits(edges: DataFrame, iters: int = 3,
                 .crossJoin(F.broadcast(hsum))
                 .select("host", (F.coalesce("h", F.lit(0.0))
                                  / F.col("_s")).alias("hub"))
-                .localCheckpoint(eager=False))
+                # eager last round -> caches releasable (see
+                # host_pagerank)
+                .localCheckpoint(eager=last))
+    e.unpersist()
+    nodes.unpersist()
     return hubs.join(auth, "host").select("host", "hub", "authority")
 
 

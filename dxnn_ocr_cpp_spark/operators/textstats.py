@@ -471,8 +471,11 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text",
 # chars are the Java/RE2 COMMON subset, the urls.py discipline). BMP
 # only (astral planes would also split Spark's UTF-16 vs DuckDB's
 # code-point length()).
+# latin splits around U+00D7 (×) and U+00F7 (÷) — the two non-letter
+# symbols embedded in the Latin-1 letter range; a plain À-ɏ would count
+# them as letters and could tip dominant_script on symbol-heavy text
 SCRIPT_CLASSES = (
-    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ɏ]"),
     ("cyrillic", "[Ѐ-ӿ]"),
     ("greek", "[Ͱ-Ͽ]"),
     ("cjk", "[぀-ヿ一-鿿]"),   # kana + unified han

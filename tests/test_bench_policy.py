@@ -79,7 +79,7 @@ class TestWindowUnstable:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / "s.json")
+            lambda levels, mode="": tmp_path / "s.json")
         w = TestStableWindowPolicy()._window(0.21, 0.96, unstable=False)
         w["local[8]"]["docs_per_sec"] = 5.0  # below local[2]'s 10.0
         key = {"corpus": "c", "levels": [2, 8],
@@ -116,7 +116,7 @@ class TestStableWindowPolicy:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
         w = self._window(0.95, 0.97, unstable=False)
         out = bench.stable_window_policy(w, self.LEVELS, "corpusA")
         assert out is w
@@ -130,7 +130,7 @@ class TestStableWindowPolicy:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
         good = self._window(0.95, 0.97, unstable=False)
         bench.stable_window_policy(good, self.LEVELS, "corpusA")
         bad = self._window(0.70, 0.97, unstable=True)
@@ -145,7 +145,7 @@ class TestStableWindowPolicy:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
         import platform
 
         poisoned = self._window(1.0508, 0.9541, unstable=False)
@@ -166,7 +166,7 @@ class TestStableWindowPolicy:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
         monkeypatch.setattr(bench, "PIN_CPUS", False)
         good = self._window(0.95, 0.97, unstable=False)
         bench.stable_window_policy(good, self.LEVELS, "corpusA")
@@ -179,7 +179,7 @@ class TestStableWindowPolicy:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"stable_{levels[0]}_{levels[1]}.json")
         good = self._window(0.95, 0.97, unstable=False)
         bench.stable_window_policy(good, self.LEVELS, "corpusA")
         bad = self._window(0.70, 0.97, unstable=True)
@@ -254,7 +254,7 @@ class TestQueriesOnly:
         monkeypatch.setattr(bench, "REPO", tmp_path)
         monkeypatch.setattr(
             bench, "stable_cache_path",
-            lambda levels: tmp_path / f"s_{levels[0]}_{levels[1]}.json")
+            lambda levels, mode="": tmp_path / f"s_{levels[0]}_{levels[1]}.json")
         w = TestStableWindowPolicy()._window(0.95, 0.97, unstable=False)
         (tmp_path / "s_2_8.json").write_text(json.dumps(w))
         # wide cache absent -> queries-only must cope without it
