@@ -238,6 +238,8 @@ HEADLINE = [
     "curation_funnel",
     "host_hits",
     "epoch_plan",
+    "stream_dedup_urls",
+    "task_config_mixed",
 ]
 
 
@@ -1148,6 +1150,13 @@ def write_report(payload: dict) -> None:
         "parallel per-document shape: our hot path has zero shuffles.",
         "",
         "## Headline query wall-times (sec, noop-materialized)",
+        "",
+        "Cross-round caveat: this table has no load gate (unlike the "
+        "scaling windows) — deltas vs an earlier round are only "
+        "meaningful if both measurement windows were quiet. See "
+        "BENCH/REGRESSIONS.md for the r2->r3 delta investigation "
+        "(all six flagged queries recovered on a quiet box; no code "
+        "regression existed).",
         "",
         "| query | sec |",
         "|---|---|",
