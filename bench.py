@@ -7,13 +7,16 @@ Phase 2  extraction scaling: the SAME seeded corpus parquet is
          extracted at local[N] and local[4N] in separate JVMs
          (subprocess) — docs/sec at both + scaling efficiency
          docs_sec_4N / (4 * docs_sec_N), plus the host's own
-         pure-python CPU scaling ceiling for context. TWO windows
+         pure-python CPU scaling ceiling for context. THREE windows
          per run: narrow 2->8 (host scales ~0.95, so the number is
-         the engine's) and wide 8->32 (SURVEY §0's named pair; host
+         the engine's), wide 8->32 (SURVEY §0's named pair; host
          ceiling ~0.71-0.85 on this VM, so the engine number is read
-         against it). This evidences the north rule's N->4N executor
-         criterion in-sandbox (analog of the reference's 1->3 NPU
-         card scaling, ~0.99 efficiency,
+         against it), and isolated-executor 8->32 (hi leg = four
+         SEPARATE cpuset-pinned 8-core JVMs over disjoint corpus
+         shards, barrier-released — the per-executor cgroup/heap
+         regime of a real 4-executor cluster). This evidences the
+         north rule's N->4N executor criterion in-sandbox (analog of
+         the reference's 1->3 NPU card scaling, ~0.99 efficiency,
          /root/reference/README.md:167-172).
 
 Prints ONE compact JSON line (fits the driver's 2000-char tail
@@ -1068,13 +1071,16 @@ def write_report(payload: dict) -> None:
         "## Extraction throughput scaling (north rule: N -> 4N, "
         "target efficiency >= 0.8)",
         "",
-        "Two windows are measured EVERY run — the narrow 2->8 window "
-        "where the host itself scales near-perfectly (so the number "
-        "reflects the engine), and the wide 8->32 window named by "
+        "THREE windows are measured EVERY run — the narrow 2->8 "
+        "window where the host itself scales near-perfectly (so the "
+        "number reflects the engine), the wide 8->32 window named by "
         "SURVEY §0 (where this VM's own pure-python ceiling is far "
-        "below 1.0; the engine number is read against that ceiling). "
-        "Publishing both closes the round-2 gap where the window "
-        "narrowed round-over-round without a side-by-side.",
+        "below 1.0; the engine number is read against that ceiling), "
+        "and the ISOLATED-EXECUTOR 8->32 window whose hi leg runs as "
+        "four separate cpuset-pinned 8-core JVMs over disjoint corpus "
+        "shards — the multi-executor cluster regime, measured instead "
+        "of argued. Publishing all three closes the round-2 gap where "
+        "the window narrowed round-over-round without a side-by-side.",
         "",
     ]
     lines += _window_section(ext, SCALING_LEVELS, headline=True)

@@ -302,3 +302,27 @@ class TestCodeDigestClosure:
         missing = [r for r in bench._EXTRACTION_CLOSURE
                    if not (pkg / r).exists()]
         assert not missing, missing
+
+
+class TestIsoShardSlicing:
+    def test_shards_partition_files_disjointly(self):
+        # worker w of W reads files[w::W]: together the shards must
+        # cover every corpus file exactly once (a gap would silently
+        # shrink the measured hi-leg work; an overlap would double it)
+        files = [f"part-{i:05d}.parquet" for i in range(64)]
+        W = 4
+        shards = [files[w::W] for w in range(W)]
+        flat = [f for s in shards for f in s]
+        assert sorted(flat) == files
+        assert len(set(flat)) == len(files)
+        # balanced to within one file
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_iso_stable_cache_is_separate_from_single_jvm(self):
+        # the iso window must never republish (or be substituted by)
+        # a single-JVM 8->32 window: distinct cache files
+        a = bench.stable_cache_path((8, 32))
+        b = bench.stable_cache_path((8, 32), "iso")
+        assert a != b
+        assert "iso" in b.name
