@@ -3191,6 +3191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          rows+schema+hash compare;
       4. the genuinely hash-mixing-bound ``no_oracle`` families LAST
          so they can never occupy a checkable slot.
+
+    Round-5 rotation plan: after CORRECTNESS_r04 lands, the only
+    oracle-backed queries without a driver row are the two planted
+    BPE twins (bpe_train_planted / bpe_tokenize_planted — added after
+    the r4 window was frozen); swap them into slots 16-17 and backfill
+    the remaining window with re-pins of the oldest-certified rows
+    (r1-era TPC-H/events twins). Every other query then has a driver
+    row in some round's CORRECTNESS file.
     """
     return {
         # -- tier 1: composed pipelines (the engine's headline work) --
