@@ -326,3 +326,76 @@ class TestIsoShardSlicing:
         b = bench.stable_cache_path((8, 32), "iso")
         assert a != b
         assert "iso" in b.name
+
+
+class TestWorkerMultiJvm:
+    """worker_multi_jvm protocol units — subprocess stubbed, no Spark."""
+
+    class _FakeStdout:
+        def __init__(self, lines):
+            self._lines = list(lines)
+
+        def readline(self):
+            return self._lines.pop(0) if self._lines else ""
+
+        def __iter__(self):
+            while self._lines:
+                yield self._lines.pop(0)
+
+    class _FakeProc:
+        def __init__(self, lines, rc=0):
+            self.stdout = TestWorkerMultiJvm._FakeStdout(lines)
+            self._rc = rc
+            self.killed = False
+
+        def wait(self, timeout=None):
+            return self._rc
+
+        def poll(self):
+            return self._rc
+
+        def kill(self):
+            self.killed = True
+
+    def _shard_json(self, w, dps=1000.0):
+        return ('{"shard": %d, "cores": 8, "wall_sec": 10.0, '
+                '"docs": 150000, "docs_per_sec": %s, "affinity": 8}\n'
+                % (w, dps))
+
+    def test_aggregates_and_releases_barrier(self, monkeypatch):
+        procs = []
+
+        def fake_popen(cmd, **kw):
+            w = len(procs)
+            p = self._FakeProc([f"READY {w}\n", self._shard_json(w)])
+            procs.append(p)
+            return p
+
+        monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+        monkeypatch.setattr(bench, "_proc_stat_busy", lambda: 0.0)
+        monkeypatch.setattr(bench, "_proc_stat_steal", lambda: 0.0)
+        r = bench.worker_multi_jvm(32, "/nonexistent", exec_cores=8)
+        assert r["n_jvms"] == 4 and len(r["shards"]) == 4
+        assert r["docs"] == 600000
+        # aggregate = total docs / slowest shard wall
+        assert r["docs_per_sec"] == round(600000 / 10.0, 2)
+
+    def test_dead_shard_retries_once_then_succeeds(self, monkeypatch):
+        attempts = {"n": 0}
+        procs_this_attempt = {"i": 0}
+
+        def fake_popen(cmd, **kw):
+            if procs_this_attempt["i"] == 0:
+                attempts["n"] += 1
+            w = procs_this_attempt["i"]
+            procs_this_attempt["i"] = (w + 1) % 4
+            if attempts["n"] == 1 and w == 0:
+                return self._FakeProc([])  # dies before READY
+            return self._FakeProc([f"READY {w}\n", self._shard_json(w)])
+
+        monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+        monkeypatch.setattr(bench, "_proc_stat_busy", lambda: 0.0)
+        monkeypatch.setattr(bench, "_proc_stat_steal", lambda: 0.0)
+        r = bench.worker_multi_jvm(32, "/nonexistent", exec_cores=8)
+        assert attempts["n"] == 2  # first attempt failed, second ran
+        assert r["docs"] == 600000
