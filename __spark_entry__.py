@@ -2995,6 +2995,37 @@ def q_winnow_planted_recall(spark, sf_dir):
             .orderBy("a"))
 
 
+def q_wordlist_filter(spark, sf_dir):
+    """C4 §2.2 'bad words' page gate (curation.wordlist_page_filter,
+    regex strategy): drop any page containing a blocklisted word or
+    phrase, word-boundary and case-insensitive. Markers are planted
+    by doc_id arithmetic — including substring CONTROLS
+    (xblockedalpha / blockedalphax) that must NOT match — and the
+    DuckDB twin replays the IDENTICAL module-built pattern
+    (curation.wordlist_regex, the _marker_regex one-source-of-truth
+    discipline). The list itself is operator-supplied in production
+    (C4 uses the public LDNOOBW list); the planted tokens here are
+    neutral by design."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.curation import wordlist_page_filter
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(i % 7 == 0, F.lit(" blockedalpha")).otherwise(F.lit("")),
+        F.when(i % 14 == 0, F.lit(" blockedalpha blockedalpha"))
+         .otherwise(F.lit("")),
+        F.when(i % 11 == 3, F.lit(" some blockedbeta gamma tail"))
+         .otherwise(F.lit("")),
+        F.when(i % 5 == 1, F.lit(" xblockedalpha blockedalphax"))
+         .otherwise(F.lit("")))
+    out = wordlist_page_filter(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 text2.alias("text")),
+        words=["blockedalpha", "blockedbeta gamma"])
+    return out.orderBy("doc_id")
+
+
 # ---------------- planted BPE twins (the last rows-only family) -----
 
 _BPE_PLANT_WORDS = 12   # 'ab','cd',...,'wx' — letters pairwise disjoint
@@ -3194,8 +3225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 rotation plan: after CORRECTNESS_r04 lands, the only
     oracle-backed queries without a driver row are the two planted
-    BPE twins (bpe_train_planted / bpe_tokenize_planted — added after
-    the r4 window was frozen); swap them into slots 16-17 and backfill
+    BPE twins and the C4 wordlist gate (bpe_train_planted /
+    bpe_tokenize_planted / wordlist_filter — added after the r4
+    window was frozen); swap them into slots 16-18 and backfill
     the remaining window with re-pins of the oldest-certified rows
     (r1-era TPC-H/events twins). Every other query then has a driver
     row in some round's CORRECTNESS file.
@@ -3261,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    holds a green row in CORRECTNESS_r01/r02/r03.json) --
         "bpe_train_planted": q_bpe_train_planted,
         "bpe_tokenize_planted": q_bpe_tokenize_planted,
+        "wordlist_filter": q_wordlist_filter,
         "lang_spans": q_lang_spans,
         "lm_quality": q_lm_quality,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -6188,6 +6221,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(btext, chr(10) ORDER BY j)
                 FILTER (WHERE keep), '') AS text
 FROM k GROUP BY doc_id, m ORDER BY doc_id"""
+
+# wordlist page gate: the oracle replays the module-built pattern
+# (one source of truth) over the same planted text construction
+from dxnn_ocr_cpp_spark.operators.curation import wordlist_regex
+
+_WL_PAT = wordlist_regex(["blockedalpha", "blockedbeta gamma"])
+ORACLES["wordlist_filter"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' blockedalpha' ELSE '' END
+         || CASE WHEN doc_id % 14 = 0
+                 THEN ' blockedalpha blockedalpha' ELSE '' END
+         || CASE WHEN doc_id % 11 = 3
+                 THEN ' some blockedbeta gamma tail' ELSE '' END
+         || CASE WHEN doc_id % 5 = 1
+                 THEN ' xblockedalpha blockedalphax' ELSE '' END
+           AS t2
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(t2), '{_WL_PAT}'))
+            AS BIGINT) AS n_flagged,
+       len(regexp_extract_all(lower(t2), '{_WL_PAT}')) = 0 AS keep
+FROM t ORDER BY doc_id"""
 
 # planted BPE: disjoint-letter words make the iterative merge loop's
 # output a pure function of the document count (see _planted_bpe_docs)

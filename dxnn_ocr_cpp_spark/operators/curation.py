@@ -324,6 +324,86 @@ def c4_line_filters(df: DataFrame, text_col: str = "text",
         & (F.col("n_sentences") >= C4_MIN_SENTENCES)).drop("__page_ok")
 
 
+# ---------- C4 'bad words' page gate (wordlist filter) ----------
+
+def wordlist_regex(words) -> str:
+    """Word-boundary alternation over literal words/phrases, longest
+    first (so a phrase entry wins over a single-word prefix of it),
+    lowercase input assumed — the _marker_regex discipline, shared
+    verbatim with the DuckDB oracle so the two engines can never
+    drift. \\b and the escaping subset used here mean the same thing
+    in Java regex and RE2 (ASCII word chars)."""
+    import re as _re
+    ws = sorted({w.lower().strip() for w in words if w.strip()},
+                key=lambda w: (-len(w), w))
+    if not ws:
+        raise ValueError("wordlist_regex: empty word list")
+    return r"\b(?:" + "|".join(_re.escape(w) for w in ws) + r")\b"
+
+
+def wordlist_page_filter(df: DataFrame, words,
+                         text_col: str = "text",
+                         keep_cols: tuple = ("doc_id",),
+                         strategy: str = "regex") -> DataFrame:
+    """(keep_cols..., n_flagged, keep) — C4 §2.2's 'bad words' page
+    gate: keep = no blocklisted word occurs in the page (case-
+    insensitive, word-boundary; phrase entries match literal word
+    sequences). The curated list itself is OPERATOR-SUPPLIED (C4 uses
+    the public 'LDNOOBW' list) — deliberately not embedded here.
+
+    strategy — two equal-output physical plans (equality pinned in
+    tests/test_curation.py):
+      regex  ONE compiled alternation evaluated in the scan stage —
+             zero shuffle, zero Python. Right for curated lists
+             (C4's is ~400 entries); pattern size grows with the
+             list, so this path guards at 2000 entries.
+      join   explode whitespace-free tokens + broadcast join against
+             the list, partial-aggregated count — the 100-TB shape
+             for very large lists (a million-entry list is a few MB
+             broadcast; alternation regexes degrade long before
+             that). Single-word entries only: phrases cannot be seen
+             by a per-token join, so they raise here rather than
+             silently not matching.
+
+    n_flagged counts every occurrence (not distinct words), matching
+    the regex scan's non-overlapping left-to-right count in both
+    strategies (token split on ASCII \\W+ = the complement of \\b's
+    word chars)."""
+    if strategy not in ("regex", "join"):
+        raise ValueError(f"strategy must be regex|join, got {strategy}")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    if strategy == "regex":
+        if len(set(words)) > 2000:
+            raise ValueError(
+                "wordlist_page_filter: >2000 entries — alternation "
+                "regex degrades; use strategy='join'")
+        pat = wordlist_regex(words)
+        hits = F.regexp_extract_all(low, F.lit(pat), F.lit(0))
+        return df.select(
+            *keep_cols,
+            F.size(hits).cast("long").alias("n_flagged")) \
+            .withColumn("keep", F.col("n_flagged") == 0)
+    ws = {w.lower().strip() for w in words if w.strip()}
+    if not ws:
+        raise ValueError("wordlist_page_filter: empty word list")
+    phrases = [w for w in ws if " " in w]
+    if phrases:
+        raise ValueError(
+            f"strategy='join' cannot match phrase entries {phrases[:3]}"
+            f" — use strategy='regex' or split the list")
+    spark = df.sparkSession
+    wl = F.broadcast(spark.createDataFrame(
+        [(w,) for w in sorted(ws)], "__w string"))
+    toks = df.select(*keep_cols,
+                     F.explode_outer(
+                         F.filter(F.split(low, r"\W+"),
+                                  lambda x: x != "")).alias("__w"))
+    flagged = (toks.join(wl.withColumn("__hit", F.lit(1)), "__w", "left")
+               .groupBy(*keep_cols)
+               .agg(F.count("__hit").cast("long").alias("n_flagged")))
+    return flagged.withColumn("keep", F.col("n_flagged") == 0)
+
+
 # ---------- benchmark decontamination ----------
 
 def _exploded_grams(df: DataFrame, id_col: str, text_col: str,

@@ -612,3 +612,61 @@ class TestDropReasons:
         plan = (drop_reasons(df, self.gates())
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestWordlistFilter:
+    WORDS = ["alphabad", "beta gamma"]
+
+    def _docs(self, spark):
+        from dxnn_ocr_cpp_spark.operators.curation import \
+            wordlist_page_filter
+        rows = [
+            (0, "clean page with nothing to flag."),
+            (1, "has AlphaBad once."),                    # case-insens
+            (2, "alphabad twice alphabad."),
+            (3, "xalphabad alphabadx subalphabadstring"),  # boundaries
+            (4, "phrase beta gamma appears here"),
+            (5, "beta alone then gamma alone"),            # split: no
+            (6, None),                                     # null text
+            (7, "alphabad-hyphenated still matches"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return wordlist_page_filter, df
+
+    def test_regex_semantics(self, spark):
+        fn, df = self._docs(spark)
+        out = {r["doc_id"]: (r["n_flagged"], r["keep"])
+               for r in fn(df, self.WORDS).collect()}
+        assert out[0] == (0, True)
+        assert out[1] == (1, False)
+        assert out[2] == (2, False)
+        assert out[3] == (0, True)      # substrings never match
+        assert out[4] == (1, False)     # phrase entry
+        assert out[5] == (0, True)      # phrase parts alone don't
+        assert out[6] == (0, True)      # null text preserved, kept
+        assert out[7] == (1, False)     # \b at hyphen
+
+    def test_join_strategy_equals_regex_on_single_words(self, spark):
+        fn, df = self._docs(spark)
+        words = ["alphabad"]            # join: single-word lists only
+        a = sorted(map(tuple, fn(df, words, strategy="regex").collect()))
+        b = sorted(map(tuple, fn(df, words, strategy="join").collect()))
+        assert a == b
+
+    def test_join_strategy_rejects_phrases(self, spark):
+        fn, df = self._docs(spark)
+        with pytest.raises(ValueError, match="phrase"):
+            fn(df, self.WORDS, strategy="join")
+
+    def test_empty_list_raises(self, spark):
+        fn, df = self._docs(spark)
+        with pytest.raises(ValueError, match="empty"):
+            fn(df, ["  "])
+
+    def test_join_path_has_no_cartesian_and_broadcasts(self, spark):
+        fn, df = self._docs(spark)
+        plan = fn(df, ["alphabad"], strategy="join") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
+            not in plan
