@@ -2995,6 +2995,38 @@ def q_winnow_planted_recall(spark, sf_dir):
             .orderBy("a"))
 
 
+def q_url_wordlist_score(spark, sf_dir):
+    """RefinedWeb-style graded URL filter (urls.url_wordlist_score):
+    severity-weighted substring scoring over the normalized url
+    (lowercase, obfuscation separators stripped — so the planted
+    'b-a-d-a-l-p-h-a' path segment still hits 'badalpha'), blocked at
+    score >= 1.0. Markers planted by doc_id arithmetic with PRESENCE
+    semantics (a word seen twice still contributes once); the DuckDB
+    twin computes the expected score from the arithmetic alone —
+    never probing strings — so the two engines cannot agree by
+    sharing a matching bug."""
+    _prep(spark)
+    from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (i % 17).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+        F.when(i % 9 == 2, F.lit("/badalpha-clip")).otherwise(F.lit("")),
+        F.when(i % 13 == 5, F.lit("/b-a-d-a-l-p-h-a"))
+         .otherwise(F.lit("")),
+        F.when(i % 7 == 3, F.lit("/riskbeta")).otherwise(F.lit("")),
+        F.when(i % 11 == 4, F.lit("/riskbeta-badalpha"))
+         .otherwise(F.lit("")))
+    out = url_wordlist_score(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 url.alias("url")),
+        weighted_words=[("badalpha", 1.0), ("riskbeta", 0.4)],
+        threshold=1.0)
+    return (out.select("doc_id", "url_word_score", "url_word_blocked")
+            .orderBy("doc_id"))
+
+
 def q_wordlist_filter(spark, sf_dir):
     """C4 §2.2 'bad words' page gate (curation.wordlist_page_filter,
     regex strategy): drop any page containing a blocklisted word or
@@ -3225,9 +3257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-5 rotation plan: after CORRECTNESS_r04 lands, the only
     oracle-backed queries without a driver row are the two planted
-    BPE twins and the C4 wordlist gate (bpe_train_planted /
-    bpe_tokenize_planted / wordlist_filter — added after the r4
-    window was frozen); swap them into slots 16-18 and backfill
+    BPE twins, the C4 wordlist gate, and the graded URL scorer
+    (bpe_train_planted / bpe_tokenize_planted / wordlist_filter /
+    url_wordlist_score — added after the r4 window was frozen); swap
+    them into slots 16-19 and backfill
     the remaining window with re-pins of the oldest-certified rows
     (r1-era TPC-H/events twins). Every other query then has a driver
     row in some round's CORRECTNESS file.
@@ -3294,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_planted": q_bpe_train_planted,
         "bpe_tokenize_planted": q_bpe_tokenize_planted,
         "wordlist_filter": q_wordlist_filter,
+        "url_wordlist_score": q_url_wordlist_score,
         "lang_spans": q_lang_spans,
         "lm_quality": q_lm_quality,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -6221,6 +6255,23 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        coalesce(string_agg(btext, chr(10) ORDER BY j)
                 FILTER (WHERE keep), '') AS text
 FROM k GROUP BY doc_id, m ORDER BY doc_id"""
+
+# graded URL wordlist score: PRESENCE arithmetic — badalpha occurs
+# iff doc_id hits %9==2, %13==5, or %11==4; riskbeta iff %7==3 or
+# %11==4 — each contributes its weight once, rounded then thresholded
+ORACLES["url_wordlist_score"] = """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         round(CAST(CASE WHEN doc_id % 9 = 2 OR doc_id % 13 = 5
+                              OR doc_id % 11 = 4
+                         THEN 1.0 ELSE 0.0 END AS DOUBLE)
+               + CAST(CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 4
+                           THEN 0.4 ELSE 0.0 END AS DOUBLE), 6)
+           AS url_word_score
+  FROM documents)
+SELECT doc_id, url_word_score,
+       url_word_score >= 1.0 AS url_word_blocked
+FROM s ORDER BY doc_id"""
 
 # wordlist page gate: the oracle replays the module-built pattern
 # (one source of truth) over the same planted text construction

@@ -157,6 +157,55 @@ def filter_blocklist(df: DataFrame, blocklist: DataFrame,
             .filter(~F.col("_blocked")).drop("_blocked"))
 
 
+def url_norm_for_scoring(url_col):
+    """Lowercased URL with the separator characters obfuscation hides
+    behind ([-._%]) removed, so 'b-a-d' / 'b.a.d' / 'b_a_d' all
+    surface the word 'bad' to a substring probe — the normalization
+    the RefinedWeb-style soft URL filter applies before scoring.
+    Shared with the DuckDB oracle as a documented contract (lower +
+    one regexp_replace, Java/RE2-common subset)."""
+    if isinstance(url_col, str):
+        url_col = F.col(url_col)
+    return F.regexp_replace(F.lower(url_col), r"[-._%]", "")
+
+
+def url_wordlist_score(df: DataFrame, weighted_words,
+                       url_col: str = "url",
+                       threshold: float = 1.0) -> DataFrame:
+    """(input cols..., url_word_score, url_word_blocked) — the GRADED
+    URL filter of the RefinedWeb recipe: each (word, weight) entry
+    contributes its weight when the word occurs as a substring of the
+    normalized url (url_norm_for_scoring — lowercase, obfuscation
+    separators stripped), and the row is blocked when the summed
+    score reaches `threshold`. Presence, not count: a word
+    contributes its weight once. This is the SOFT signal beside the
+    two hard gates (flag_blocked by domain; wordlist_page_filter on
+    page text) — together the URL-filtering trio.
+
+    Scale shape: pure Catalyst — the list rides the plan as a flat
+    sum of `contains` conditionals (the classifier.py literal-fold
+    discipline), zero shuffle, zero Python, zero joins; guarded at
+    1000 entries (curated severity lists are ~10^2; a bigger list
+    belongs in the broadcast-join operators above)."""
+    pairs = [(w.lower().strip(), float(wt))
+             for w, wt in weighted_words if w.strip()]
+    if not pairs:
+        raise ValueError("url_wordlist_score: empty word list")
+    if len(pairs) > 1000:
+        raise ValueError(
+            "url_wordlist_score: >1000 entries — the literal "
+            "conditional sum degrades; use flag_blocked / "
+            "wordlist_page_filter's join strategy shapes instead")
+    norm = url_norm_for_scoring(url_col)
+    score = None
+    for w, wt in pairs:
+        term = F.when(norm.contains(w), F.lit(wt)).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (df.withColumn("url_word_score", F.round(score, 6))
+            .withColumn("url_word_blocked",
+                        F.col("url_word_score") >= F.lit(threshold)))
+
+
 # ---------- robots-style URL rule gate (RFC 9309 simplified) ----------
 
 def robots_gate(df: DataFrame, rules: DataFrame,

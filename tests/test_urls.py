@@ -512,3 +512,50 @@ class TestCrawlTraps:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") <= 2
         assert "Window" not in plan and "PythonUDF" not in plan
+
+
+class TestUrlWordlistScore:
+    WW = [("badalpha", 1.0), ("riskbeta", 0.4)]
+
+    def _score(self, spark, url):
+        from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
+        df = spark.createDataFrame([(url,)], "url string")
+        r = url_wordlist_score(df, self.WW).collect()[0]
+        return r["url_word_score"], r["url_word_blocked"]
+
+    def test_plain_hit_and_threshold(self, spark):
+        assert self._score(spark, "https://x.org/badalpha") == (1.0, True)
+        assert self._score(spark, "https://x.org/riskbeta") == (0.4, False)
+        assert self._score(
+            spark, "https://x.org/riskbeta/badalpha") == (1.4, True)
+
+    def test_obfuscation_separators_stripped(self, spark):
+        # '-', '.', '_', '%' hide nothing from the normalized probe
+        for u in ("https://x.org/b-a-d-a-l-p-h-a",
+                  "https://x.org/b.a.d.a.l.p.h.a",
+                  "https://x.org/b_a_d_alpha",
+                  "https://x.org/bad%alpha"):
+            assert self._score(spark, u) == (1.0, True)
+
+    def test_presence_not_count(self, spark):
+        assert self._score(
+            spark, "https://x.org/badalpha/badalpha") == (1.0, True)
+
+    def test_clean_url_scores_zero(self, spark):
+        assert self._score(spark, "https://example.org/page/1") \
+            == (0.0, False)
+
+    def test_guards(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
+        df = spark.createDataFrame([("u",)], "url string")
+        with pytest.raises(ValueError, match="empty"):
+            url_wordlist_score(df, [(" ", 1.0)])
+        with pytest.raises(ValueError, match="1000"):
+            url_wordlist_score(df, [(f"w{i}", 1.0) for i in range(1001)])
+
+    def test_zero_shuffle_plan(self, spark):
+        from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
+        df = spark.createDataFrame([("u",)], "url string")
+        plan = url_wordlist_score(df, self.WW) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
