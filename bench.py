@@ -97,6 +97,9 @@ RUN_WIDE = os.environ.get("SPARK_GRAFT_WIDE", "1") != "0"
 # shared memory subsystem, not the shared JVM.
 RUN_ISO = os.environ.get("SPARK_GRAFT_ISO", "1") != "0"
 ISO_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_ISO_EXEC_CORES", "8"))
+# how long the iso hi leg waits for every shard JVM's READY line
+ISO_READY_TIMEOUT = float(
+    os.environ.get("SPARK_GRAFT_ISO_READY_TIMEOUT", "600"))
 
 
 def docs_for(levels: tuple) -> int:
@@ -446,6 +449,38 @@ def scaling_worker_shard(cores: int, corpus: str, shard: int,
         spark.stop()
 
 
+class _LinePump:
+    """Reads a child's stdout on a daemon thread into a queue so the
+    parent can wait for lines WITH a deadline: a shard JVM that hangs
+    without printing (e.g. Spark stuck in warm-up) used to block
+    readline() forever — the 600 s READY deadline was only checked
+    between lines. get() returns the line, '' at EOF, or None when
+    the deadline passes with nothing available (the thread itself
+    stays blocked on the pipe; it exits at EOF when the child is
+    killed)."""
+
+    def __init__(self, stream):
+        import queue
+        import threading
+        self._q = queue.Queue()
+
+        def pump():
+            for line in stream:
+                self._q.put(line)
+            self._q.put("")  # EOF sentinel
+
+        self._t = threading.Thread(target=pump, daemon=True)
+        self._t.start()
+
+    def get(self, deadline: float):
+        import queue
+        remain = deadline - time.monotonic()
+        try:
+            return self._q.get(timeout=max(remain, 0.0))
+        except queue.Empty:
+            return None
+
+
 def worker_multi_jvm(total_cores: int, corpus: str,
                      exec_cores: int = ISO_EXEC_CORES) -> dict:
     """The isolated-executor hi leg: total_cores/exec_cores SEPARATE
@@ -476,12 +511,13 @@ def worker_multi_jvm(total_cores: int, corpus: str,
                     cmd, stdout=subprocess.PIPE,
                     stderr=subprocess.DEVNULL, text=True))
             outs: list[list[str]] = [[] for _ in range(n_jvms)]
-            deadline = time.monotonic() + 600
+            pumps = [_LinePump(p.stdout) for p in procs]
+            deadline = time.monotonic() + ISO_READY_TIMEOUT
             for i, p in enumerate(procs):
                 while True:
-                    if time.monotonic() > deadline:
+                    line = pumps[i].get(deadline)
+                    if line is None:
                         raise RuntimeError(f"iso shard {i} never READY")
-                    line = p.stdout.readline()
                     if not line:
                         raise RuntimeError(f"iso shard {i} died pre-READY")
                     if line.startswith("READY"):
@@ -491,8 +527,16 @@ def worker_multi_jvm(total_cores: int, corpus: str,
             t0 = time.monotonic()
             pathlib.Path(barrier).write_text("go")
             shards = []
+            result_deadline = time.monotonic() + 900
             for i, p in enumerate(procs):
-                for line in p.stdout:
+                while True:  # drain this shard's pump to EOF
+                    line = pumps[i].get(result_deadline)
+                    if line is None:
+                        raise RuntimeError(
+                            f"iso shard {i} produced no result "
+                            f"within deadline")
+                    if not line:
+                        break  # EOF
                     line = line.strip()
                     if line.startswith("{"):
                         shards.append(json.loads(line))

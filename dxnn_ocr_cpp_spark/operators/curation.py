@@ -373,7 +373,10 @@ def wordlist_page_filter(df: DataFrame, words,
         raise ValueError(f"strategy must be regex|join, got {strategy}")
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     if strategy == "regex":
-        if len(set(words)) > 2000:
+        # guard on the NORMALIZED set — wordlist_regex dedups
+        # case-insensitively, so the alternation's actual size is the
+        # normalized count, not the raw entry count
+        if len({w.lower().strip() for w in words if w.strip()}) > 2000:
             raise ValueError(
                 "wordlist_page_filter: >2000 entries — alternation "
                 "regex degrades; use strategy='join'")
@@ -386,11 +389,18 @@ def wordlist_page_filter(df: DataFrame, words,
     ws = {w.lower().strip() for w in words if w.strip()}
     if not ws:
         raise ValueError("wordlist_page_filter: empty word list")
-    phrases = [w for w in ws if " " in w]
-    if phrases:
+    # any entry containing a non-word char can never equal a token
+    # split on \W+ — not just phrases: 'bad-word', "don't", 'sex.com'
+    # all silently never match under the join plan while the regex
+    # plan matches them via \b boundaries, so the 'two equal-output
+    # physical plans' contract demands rejecting them loudly here
+    import re as _re
+    nonword = [w for w in sorted(ws) if _re.search(r"\W", w)]
+    if nonword:
         raise ValueError(
-            f"strategy='join' cannot match phrase entries {phrases[:3]}"
-            f" — use strategy='regex' or split the list")
+            f"strategy='join' cannot match entries with non-word "
+            f"chars {nonword[:3]} — use strategy='regex' or split "
+            f"the list")
     spark = df.sparkSession
     wl = F.broadcast(spark.createDataFrame(
         [(w,) for w in sorted(ws)], "__w string"))

@@ -176,7 +176,9 @@ def url_wordlist_score(df: DataFrame, weighted_words,
     URL filter of the RefinedWeb recipe: each (word, weight) entry
     contributes its weight when the word occurs as a substring of the
     normalized url (url_norm_for_scoring — lowercase, obfuscation
-    separators stripped), and the row is blocked when the summed
+    separators stripped; each ENTRY gets the same normalization, so
+    'bad-word' probes as 'badword' instead of silently never
+    matching), and the row is blocked when the summed
     score reaches `threshold`. Presence, not count: a word
     contributes its weight once. This is the SOFT signal beside the
     two hard gates (flag_blocked by domain; wordlist_page_filter on
@@ -187,8 +189,18 @@ def url_wordlist_score(df: DataFrame, weighted_words,
     discipline), zero shuffle, zero Python, zero joins; guarded at
     1000 entries (curated severity lists are ~10^2; a bigger list
     belongs in the broadcast-join operators above)."""
-    pairs = [(w.lower().strip(), float(wt))
+    # entries get the SAME normalization as the URL (lower + strip
+    # [-._%]): an un-normalized entry like 'bad-word' or 'sex.com'
+    # could never match the normalized URL — it would silently
+    # contribute 0 to every row's score
+    import re as _re
+    pairs = [(_re.sub(r"[-._%]", "", w.lower().strip()), float(wt))
              for w, wt in weighted_words if w.strip()]
+    gone = [w for w, _ in pairs if not w]
+    if gone:
+        raise ValueError(
+            "url_wordlist_score: entries vanish under normalization "
+            "(only separator chars [-._%])")
     if not pairs:
         raise ValueError("url_wordlist_score: empty word list")
     if len(pairs) > 1000:

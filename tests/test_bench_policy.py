@@ -380,6 +380,55 @@ class TestWorkerMultiJvm:
         # aggregate = total docs / slowest shard wall
         assert r["docs_per_sec"] == round(600000 / 10.0, 2)
 
+    def test_silent_hung_shard_trips_deadline_not_readline(
+            self, monkeypatch):
+        # the ADVICE hang: a shard JVM stuck in warm-up produces NO
+        # output; the old code blocked in p.stdout.readline() forever
+        # because the 600 s deadline was only checked between lines.
+        # A pump thread now owns the stream, so the READY wait times
+        # out, the attempt is killed, and the retry succeeds.
+        import threading
+
+        class _HungStdout:
+            """Blocks forever on iteration (until released)."""
+
+            def __init__(self):
+                self.release = threading.Event()
+
+            def __iter__(self):
+                self.release.wait()
+                return iter(())
+
+        hung_procs = []
+        attempt_procs = {"i": 0, "n": 0}
+        outer = self
+
+        def fake_popen(cmd, **kw):
+            if attempt_procs["i"] == 0:
+                attempt_procs["n"] += 1
+            w = attempt_procs["i"]
+            attempt_procs["i"] = (w + 1) % 4
+            if attempt_procs["n"] == 1 and w == 0:
+                p = outer._FakeProc([])
+                p.stdout = _HungStdout()
+                p.poll = lambda: None  # still running, like a real hang
+                hung_procs.append(p)
+                return p
+            return outer._FakeProc(
+                [f"READY {w}\n", outer._shard_json(w)])
+
+        monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+        monkeypatch.setattr(bench, "_proc_stat_busy", lambda: 0.0)
+        monkeypatch.setattr(bench, "_proc_stat_steal", lambda: 0.0)
+        monkeypatch.setattr(bench, "ISO_READY_TIMEOUT", 0.3)
+        t0 = __import__("time").monotonic()
+        r = bench.worker_multi_jvm(32, "/nonexistent", exec_cores=8)
+        assert __import__("time").monotonic() - t0 < 30
+        assert attempt_procs["n"] == 2 and r["docs"] == 600000
+        assert hung_procs[0].killed
+        for p in hung_procs:  # let the pump thread exit
+            p.stdout.release.set()
+
     def test_dead_shard_retries_once_then_succeeds(self, monkeypatch):
         attempts = {"n": 0}
         procs_this_attempt = {"i": 0}

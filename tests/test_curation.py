@@ -655,13 +655,46 @@ class TestWordlistFilter:
 
     def test_join_strategy_rejects_phrases(self, spark):
         fn, df = self._docs(spark)
-        with pytest.raises(ValueError, match="phrase"):
+        with pytest.raises(ValueError, match="non-word"):
             fn(df, self.WORDS, strategy="join")
+
+    def test_join_strategy_rejects_nonword_entries(self, spark):
+        # not just phrases: 'bad-word', "don't", 'sex.com' can never
+        # equal a \W+-split token, while the regex strategy matches
+        # them via \b — the equal-output contract demands a loud
+        # reject instead of a silent never-match
+        fn, df = self._docs(spark)
+        for w in ["bad-word", "don't", "sex.com"]:
+            with pytest.raises(ValueError, match="non-word"):
+                fn(df, [w], strategy="join")
+
+    def test_strategies_agree_where_join_is_legal(self, spark):
+        # any list the join guard ADMITS must produce identical
+        # output under both physical plans
+        fn, df = self._docs(spark)
+        words = ["alphabad", "gamma"]
+        a = sorted(map(tuple, fn(df, words, strategy="regex").collect()))
+        b = sorted(map(tuple, fn(df, words, strategy="join").collect()))
+        assert a == b
 
     def test_empty_list_raises(self, spark):
         fn, df = self._docs(spark)
         with pytest.raises(ValueError, match="empty"):
             fn(df, ["  "])
+
+    def test_regex_guard_counts_normalized_entries(self, spark):
+        # 3000 raw entries, 1500 distinct after lower/strip — the
+        # alternation wordlist_regex actually compiles is 1500 wide,
+        # so the regex strategy must ADMIT the list
+        fn, df = self._docs(spark)
+        raw = [f"w{i}" for i in range(1500)] \
+            + [f"W{i}" for i in range(1500)]
+        out = {r["doc_id"]: r["keep"]
+               for r in fn(df, raw, strategy="regex").collect()}
+        assert out[0] is True
+        # and >2000 distinct normalized entries still raises
+        with pytest.raises(ValueError, match="2000"):
+            fn(df, [f"w{i}" for i in range(2001)], strategy="regex")
 
     def test_join_path_has_no_cartesian_and_broadcasts(self, spark):
         fn, df = self._docs(spark)

@@ -552,6 +552,22 @@ class TestUrlWordlistScore:
             url_wordlist_score(df, [(" ", 1.0)])
         with pytest.raises(ValueError, match="1000"):
             url_wordlist_score(df, [(f"w{i}", 1.0) for i in range(1001)])
+        # an entry that is ONLY separator chars normalizes to '' and
+        # would match every URL — reject loudly
+        with pytest.raises(ValueError, match="normalization"):
+            url_wordlist_score(df, [("-._", 1.0)])
+
+    def test_entries_normalized_like_urls(self, spark):
+        # an entry written with separators ('bad-alpha', 'bad.alpha')
+        # must probe as its normalized form instead of silently
+        # contributing 0 (the URL side strips [-._%] before probing)
+        from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
+        df = spark.createDataFrame(
+            [("https://x.org/badalpha",)], "url string")
+        for entry in ("bad-alpha", "bad.alpha", "bad_alpha", "Bad-Alpha"):
+            r = url_wordlist_score(df, [(entry, 1.0)]).collect()[0]
+            assert (r["url_word_score"], r["url_word_blocked"]) \
+                == (1.0, True), entry
 
     def test_zero_shuffle_plan(self, spark):
         from dxnn_ocr_cpp_spark.operators.urls import url_wordlist_score
