@@ -101,6 +101,15 @@ ISO_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_ISO_EXEC_CORES", "8"))
 ISO_READY_TIMEOUT = float(
     os.environ.get("SPARK_GRAFT_ISO_READY_TIMEOUT", "600"))
 
+# wall-clock budget for the DEFAULT `python bench.py` run (queries +
+# any scaling-window re-measures). The driver's capture killed the
+# r4 run at timeout because the default re-measured all three windows
+# unconditionally (~40-70 min); under budget the query table always
+# runs and each window re-measures only if its estimate fits —
+# otherwise the committed stable window is reused, labeled. `--full`
+# disables the budget entirely.
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+
 
 def docs_for(levels: tuple) -> int:
     """Corpus size for a scaling window. Scaling measurement needs
@@ -679,7 +688,8 @@ def window_unstable(bracket_probes: list, eff_rounds: list,
 
 def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
                 min_rounds: int = 3, max_rounds: int = 5,
-                hi_worker=None) -> dict:
+                hi_worker=None, deadline: float | None = None,
+                lo_worker=None) -> dict:
     """Alternate the two levels as lo hi lo hi lo ... so every hi run
     is bracketed by two lo runs: efficiency ratios use the bracketing
     mean (first-order drift cancellation), throughput uses
@@ -691,7 +701,24 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     record shape) — the isolated-executor window passes
     worker_multi_jvm so its hi leg runs as separate pinned JVMs while
     every other part of the protocol (bracketing, probes, gates,
-    steal accounting, stable-window policy) stays identical."""
+    steal accounting, stable-window policy) stays identical.
+
+    deadline: optional wall-clock cap (time.monotonic() value). The
+    min_rounds bracket always runs — the caller budgeted for it
+    before starting the window — but every OPTIONAL phase checks the
+    deadline first: the health-gate's 90 s waits, the noise-triggered
+    extension rounds, and the healthy-recovery rounds. This caps the
+    retry policy by budget, not only by count (the r4 failure: window
+    extensions compounded into a 40-70 min default run the driver
+    killed at timeout)."""
+    def room_for(cost: float) -> bool:
+        return deadline is None or time.monotonic() + cost <= deadline
+
+    def round_cost() -> float:
+        # one more round = one hi leg + one lo leg, from the walls
+        # this window actually measured (plus scheduling slack)
+        return 1.2 * (hi_seq[-1]["wall_sec"] + lo_seq[-1]["wall_sec"])
+
     def worker(cores: int) -> dict:
         cmd = [sys.executable, __file__, "--scaling-worker",
                str(cores), corpus]
@@ -727,10 +754,11 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     # order cancellation for one extra lo leg per RUN (not per round:
     # consecutive rounds share the bracketing lo).
     def one_round():
+        lo_fn = lo_worker or worker
         if not lo_seq:
-            lo_seq.append(worker(lo))
+            lo_seq.append(lo_fn(lo))
         hi_seq.append(hi_worker(hi) if hi_worker else worker(hi))
-        lo_seq.append(worker(lo))
+        lo_seq.append(lo_fn(lo))
 
     def ratios():
         out = []
@@ -797,7 +825,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     p, st = probe()
     probes.append(p); gate_steals.append(st)
     while (not healthy(probes[-1]) or gate_steals[-1] > 0.05) \
-            and len(probes) < 5:
+            and len(probes) < 5 and room_for(90 + 45):
         time.sleep(90)
         p, st = probe()
         probes.append(p); gate_steals.append(st)
@@ -809,7 +837,9 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     # matched-pair ratios spread wider than 0.1 the host was drifting
     # mid-measurement, so collect up to two more rounds — more data
     # under noise, the same median estimator either way
-    while n_rounds() < max_rounds and max(ratios()) - min(ratios()) > 0.1:
+    while n_rounds() < max_rounds \
+            and max(ratios()) - min(ratios()) > 0.1 \
+            and room_for(round_cost()):
         one_round()
     # recovery rounds: if the host was degraded for every pre-run probe
     # but measures healthy now, the measurement window was bad — sample
@@ -818,7 +848,7 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
     post = cpu_ceiling(lo, hi)
     probes.append(post)
     if healthy(post) and not any(healthy(p) for p in probes[:-1]):
-        while n_rounds() < max_rounds:
+        while n_rounds() < max_rounds and room_for(round_cost()):
             one_round()
     # best observed throughput per level, across all runs (the VM's
     # available CPU drifts ~10% over minutes, so best-per-level is the
@@ -960,6 +990,72 @@ def stable_window_policy(ext: dict, levels: tuple = SCALING_LEVELS,
     return ext
 
 
+def _window_cost_estimate(levels: tuple, mode: str = "",
+                          min_rounds: int = 3) -> float:
+    """Conservative wall-clock estimate for re-measuring a scaling
+    window, from the cached stable window's own measured leg walls
+    when available (magnitude constants from BENCH/BASELINE.md
+    otherwise). Counts the two ceiling probes, the min_rounds
+    lo-hi-lo bracket, and — when the corpus cache is absent — corpus
+    generation, then adds 25% headroom. Deliberately ignores the
+    noise-triggered extension rounds: those are separately capped by
+    the same deadline inside run_scaling."""
+    lo, hi = levels
+    cache = stable_cache_path(levels, mode)
+    lo_w, hi_w = (170.0, 50.0)  # measured magnitudes on this VM
+    if cache.exists():
+        try:
+            d = json.loads(cache.read_text())
+            lo_w = d[f"local[{lo}]"]["wall_sec"]
+            hi_w = d[f"local[{hi}]"]["wall_sec"]
+        except (KeyError, ValueError):
+            pass
+    probe_cost = 40.0  # cpu_ceiling: warm + 3x burn at both widths
+    est = 2 * probe_cost + (min_rounds + 1) * lo_w + min_rounds * hi_w
+    corpus = corpus_cache(docs_for(levels))
+    if not os.path.exists(corpus):
+        est += docs_for(levels) * 0.002  # corpus generation
+    return est * 1.25
+
+
+def measure_or_reuse_window(levels: tuple, mode: str = "",
+                            deadline: float | None = None,
+                            min_rounds: int = 3, max_rounds: int = 5,
+                            hi_worker_factory=None,
+                            required: bool = False) -> dict | None:
+    """One scaling window under the wall-clock budget: re-measure it
+    when the estimated cost fits before `deadline`, else reuse the
+    committed stable window verbatim — labeled with its own
+    measured_at plus an explicit `remeasure_skipped` marker (and
+    `cache_key_stale` when the engine hot path changed since it was
+    measured, so a reused number can never silently pose as a fresh
+    one). A `required` window (the headline) is measured even over
+    budget when NO cache exists — the report needs some window — while
+    an optional one is omitted (None)."""
+    import platform
+    est = _window_cost_estimate(levels, mode, min_rounds)
+    fits = deadline is None or time.monotonic() + est <= deadline
+    cache = stable_cache_path(levels, mode)
+    if not fits and cache.exists():
+        w = json.loads(cache.read_text())
+        w["remeasure_skipped"] = "budget"
+        key = w.get("window_key", {})
+        if key.get("code") != _package_code_digest() \
+                or key.get("host") != platform.node() \
+                or key.get("pinned") != PIN_CPUS:
+            w["cache_key_stale"] = True
+        return w
+    if not fits and not required:
+        return None
+    corpus = corpus_cache(docs_for(levels))
+    ensure_corpus(corpus, docs_for(levels))
+    hi_worker = hi_worker_factory(corpus) if hi_worker_factory else None
+    w = run_scaling(corpus, levels, min_rounds=min_rounds,
+                    max_rounds=max_rounds, hi_worker=hi_worker,
+                    deadline=deadline)
+    return stable_window_policy(w, levels, corpus, mode=mode)
+
+
 def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
     lo, hi = levels
     lo_r, hi_r = ext[f"local[{lo}]"], ext[f"local[{hi}]"]
@@ -975,6 +1071,21 @@ def _window_section(ext: dict, levels: tuple, headline: bool) -> list:
         "",
         f"Corpus: {lo_r['docs']} docs.",
         "",
+    ]
+    if ext.get("remeasure_skipped"):
+        lines += [
+            f"REUSED stable window (measured_at "
+            f"{ext.get('measured_at', '?')}): re-measuring was "
+            f"skipped because its estimated cost did not fit the "
+            f"run's wall-clock budget "
+            f"(SPARK_GRAFT_BENCH_BUDGET; `--full` re-measures "
+            f"unconditionally)."
+            + (" NOTE: the extraction hot path changed since this "
+               "window was measured (cache_key_stale)."
+               if ext.get("cache_key_stale") else ""),
+            "",
+        ]
+    lines += [
         "| parallelism | wall sec | docs/sec |",
         "|---|---|---|",
         f"| local[{lo}] | {lo_r['wall_sec']} | {lo_r['docs_per_sec']} |",
@@ -1449,6 +1560,12 @@ def _ext_summary(ext: dict, levels: tuple) -> dict:
     }
     if ext.get("per_core_efficiency") is not None:
         out["per_core_eff"] = ext["per_core_efficiency"]
+    if ext.get("remeasure_skipped"):
+        # a reused stable window must never pose as a fresh one: the
+        # driver-visible line carries its own measurement timestamp
+        out["cached"] = ext.get("measured_at", True)
+        if ext.get("cache_key_stale"):
+            out["stale"] = True
     return out
 
 
@@ -1481,26 +1598,22 @@ def main() -> None:
                if RUN_ISO and iso_cache.exists() else None)
         _finish(extraction, wide, iso, run_queries())
         return
-    ensure_corpus(CORPUS_CACHE, SCALE_DOCS)
-    extraction = run_scaling(CORPUS_CACHE, SCALING_LEVELS)
-    extraction = stable_window_policy(extraction, SCALING_LEVELS,
-                                      CORPUS_CACHE)
-    wide = None
-    if RUN_WIDE:
-        wide_corpus = corpus_cache(docs_for(WIDE_LEVELS))
-        ensure_corpus(wide_corpus, docs_for(WIDE_LEVELS))
-        wide = run_scaling(wide_corpus, WIDE_LEVELS,
-                           min_rounds=2, max_rounds=4)
-        wide = stable_window_policy(wide, WIDE_LEVELS, wide_corpus)
-    iso = None
-    if RUN_ISO:
-        iso_corpus = corpus_cache(docs_for(WIDE_LEVELS))
-        ensure_corpus(iso_corpus, docs_for(WIDE_LEVELS))
-        iso = run_scaling(
-            iso_corpus, WIDE_LEVELS, min_rounds=2, max_rounds=4,
-            hi_worker=lambda cores: worker_multi_jvm(cores, iso_corpus))
-        iso = stable_window_policy(iso, WIDE_LEVELS, iso_corpus,
-                                   mode="iso")
+    full = len(sys.argv) > 1 and sys.argv[1] == "--full"
+    # BUDGET-AWARE DEFAULT (the round-4 lesson): the old default
+    # unconditionally re-measured all three scaling windows — an est.
+    # 40-70 min — and the driver killed it at timeout (rc=124),
+    # recording NO perf data at all. The bench's first duty is to
+    # ALWAYS emit its one-line JSON within the caller's budget:
+    # queries run first (they have no cache), then each scaling
+    # window is re-measured ONLY if its estimated cost fits the
+    # remaining wall-clock budget — otherwise the committed stable
+    # window is reused verbatim, labeled with its own measured_at
+    # and an explicit remeasure_skipped marker. `--full` (or a large
+    # SPARK_GRAFT_BENCH_BUDGET) restores unconditional re-measure.
+    # Reference analog: the benchmark harness always emits its
+    # report (/root/reference/benchmark/benchmark.cpp:239-293).
+    deadline = (None if full
+                else time.monotonic() + BENCH_BUDGET)
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
         # iteration aid: refresh the scaling windows without paying
         # the query phase; report/detail keep the prior query table
@@ -1509,6 +1622,20 @@ def main() -> None:
                    if prior.exists() else {})
     else:
         timings = run_queries()
+    extraction = measure_or_reuse_window(
+        SCALING_LEVELS, deadline=deadline, required=True)
+    wide = None
+    if RUN_WIDE:
+        wide = measure_or_reuse_window(
+            WIDE_LEVELS, deadline=deadline,
+            min_rounds=2, max_rounds=4)
+    iso = None
+    if RUN_ISO:
+        iso = measure_or_reuse_window(
+            WIDE_LEVELS, mode="iso", deadline=deadline,
+            min_rounds=2, max_rounds=4,
+            hi_worker_factory=lambda corpus: (
+                lambda cores: worker_multi_jvm(cores, corpus)))
     _finish(extraction, wide, iso, timings)
 
 
