@@ -580,13 +580,22 @@ def worker_multi_jvm(total_cores: int, corpus: str,
     raise AssertionError("unreachable")
 
 
-def cpu_ceiling(lo: int, hi: int) -> float:
+def cpu_ceiling(lo: int, hi: int, with_steal: bool = False):
     """Host CPU scaling ceiling for lo->hi pure-python processes —
     the hardware context the engine's efficiency is judged against
-    (no Spark involved)."""
+    (no Spark involved).
+
+    with_steal=True additionally returns the worst PER-PHASE steal
+    fraction: each phase's /proc/stat steal delta over its own timed
+    pass, normalized by that phase's OWN core count — the same
+    normalization the per-leg 5% gate applies to the engine legs.
+    (The previous whole-probe-over-hi-cores normalization
+    systematically understated lo-phase steal by ~hi/lo and diluted
+    both phases with untimed warm-up — the gate read looser than the
+    per-leg gate it fronts for.)"""
     import multiprocessing as mp
 
-    def measure(procs: int) -> float:
+    def measure(procs: int) -> tuple:
         # pin each phase to exactly `procs` cores, matching how the
         # engine legs run (pool children inherit the parent affinity)
         prev = None
@@ -596,14 +605,21 @@ def cpu_ceiling(lo: int, hi: int) -> float:
         try:
             with mp.Pool(procs) as p:
                 p.map(_burn, [500_000] * procs)  # warm
-                t0 = time.monotonic()
+                s0, t0 = _proc_stat_steal(), time.monotonic()
                 p.map(_burn, [8_000_000] * procs * 3)
-                return procs * 3 / (time.monotonic() - t0)
+                dt = time.monotonic() - t0
+                steal = (_proc_stat_steal() - s0) / (dt * procs)
+                return procs * 3 / dt, steal
         finally:
             if prev is not None:
                 os.sched_setaffinity(0, prev)
 
-    return round(measure(hi) / (measure(lo) * (hi / lo)), 4)
+    thr_hi, st_hi = measure(hi)
+    thr_lo, st_lo = measure(lo)
+    ratio = round(thr_hi / (thr_lo * (hi / lo)), 4)
+    if with_steal:
+        return ratio, max(st_lo, st_hi)
+    return ratio
 
 
 def _burn(n: int) -> int:
@@ -804,22 +820,14 @@ def run_scaling(corpus: str, levels: tuple = SCALING_LEVELS,
         """Ceiling probe + the hypervisor steal fraction observed
         while the probe loaded the box — a high-steal window fails
         the gate even when the probe's lo->hi RATIO happens to look
-        healthy (both phases equally robbed).
-
-        Normalization caveat (intentional): the fraction divides the
-        WHOLE probe duration by `hi` cores, but cpu_ceiling spends a
-        large share of that duration in its lo-core phase (plus
-        warmups), so probe-window steal is systematically understated
-        relative to the per-leg gate — i.e. this gate is LOOSER than
-        the 5% per-measured-leg steal gate in window_unstable, by
-        design: it only needs to catch grossly robbed windows before
-        any engine leg runs; the per-leg gate (normalized by each
-        leg's own core count over its own measured pass) is the
-        authoritative one."""
-        s0, t0 = _proc_stat_steal(), time.monotonic()
-        p = cpu_ceiling(lo, hi)
-        dt = max(time.monotonic() - t0, 1e-6)
-        return p, (_proc_stat_steal() - s0) / (dt * hi)
+        healthy (both phases equally robbed). Steal is normalized
+        PER PHASE inside cpu_ceiling (each phase's own timed pass
+        over its own core count — the exact normalization of the
+        per-leg 5% gate in window_unstable), so the pre-run gate and
+        the per-leg gate now read the same units; the old
+        whole-probe-over-hi-cores fraction understated lo-phase steal
+        by ~hi/lo."""
+        return cpu_ceiling(lo, hi, with_steal=True)
 
     probes, gate_steals = [], []
     p, st = probe()

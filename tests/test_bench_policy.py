@@ -387,7 +387,10 @@ class TestDeadlineCappedRounds:
         return lo_fn, hi_fn
 
     def _quiet_probes(self, monkeypatch):
-        monkeypatch.setattr(bench, "cpu_ceiling", lambda lo, hi: 0.95)
+        monkeypatch.setattr(
+            bench, "cpu_ceiling",
+            lambda lo, hi, with_steal=False:
+                (0.95, 0.0) if with_steal else 0.95)
         monkeypatch.setattr(bench, "_proc_stat_steal", lambda: 0.0)
 
     def test_noisy_window_extends_without_deadline(self, monkeypatch):
