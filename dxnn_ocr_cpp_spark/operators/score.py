@@ -34,10 +34,18 @@ def link_density(b: Column) -> Column:
     return b["n_link_chars"] / F.greatest(b["n_text_chars"], F.lit(1))
 
 
-def block_score(b: Column, cfg: ExtractionConfig = DEFAULT_CONFIG) -> Column:
-    """Score expression for one block struct (use inside F.transform)."""
+def block_score(b: Column, cfg: ExtractionConfig = DEFAULT_CONFIG,
+                slim: bool = False) -> Column:
+    """Score expression for one block struct (use inside F.transform).
+    slim blocks carry the Python-computed `boiler` verdict (a boolean
+    read) instead of tag_path (a per-block regex) — same prior by
+    construction (segment._is_boiler_path mirrors
+    _boiler_path_regex; equality pinned by the extract-vs-
+    extract_blocks parity in tests/test_pipeline_spark.py)."""
+    boiler = (b["boiler"] if slim
+              else b["tag_path"].rlike(_boiler_path_regex(cfg)))
     prior = (
-        F.when(b["tag_path"].rlike(_boiler_path_regex(cfg)), F.lit(0.0))
+        F.when(boiler, F.lit(0.0))
         .when(b["tag"].isin(*cfg.content_tags), F.lit(1.0))
         .otherwise(F.lit(0.7))
     )
@@ -48,23 +56,29 @@ def block_score(b: Column, cfg: ExtractionConfig = DEFAULT_CONFIG) -> Column:
 
 
 def with_scored_blocks(df, cfg: ExtractionConfig = DEFAULT_CONFIG,
-                       seg_col: str = "seg", out_col: str = "scored"):
+                       seg_col: str = "seg", out_col: str = "scored",
+                       slim: bool = False):
     """blocks array -> scored-blocks array (adds `score` field).
     Pure column expressions — zero shuffle, zero Python."""
     blocks = F.col(f"{seg_col}.blocks")
-    scored = F.transform(
-        blocks,
-        lambda b: F.struct(
+
+    def scored_struct(b):
+        fields = [
             b["block_id"].alias("block_id"),
             b["tag"].alias("tag"),
-            b["tag_path"].alias("tag_path"),
+        ]
+        if not slim:
+            fields.append(b["tag_path"].alias("tag_path"))
+        fields += [
             b["depth"].alias("depth"),
             b["pos"].alias("pos"),
             b["text"].alias("text"),
             b["n_text_chars"].alias("n_text_chars"),
             b["n_link_chars"].alias("n_link_chars"),
-            b["n_tags"].alias("n_tags"),
-            block_score(b, cfg).alias("score"),
-        ),
-    )
-    return df.withColumn(out_col, scored)
+        ]
+        if not slim:
+            fields.append(b["n_tags"].alias("n_tags"))
+        fields.append(block_score(b, cfg, slim=slim).alias("score"))
+        return F.struct(*fields)
+
+    return df.withColumn(out_col, F.transform(blocks, scored_struct))

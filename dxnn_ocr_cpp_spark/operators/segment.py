@@ -21,13 +21,27 @@ from pyspark.sql import functions as F
 
 from dxnn_ocr_cpp_spark.config import DEFAULT_CONFIG, ExtractionConfig
 from dxnn_ocr_cpp_spark.htmlseg import normalize_text, segment_html
-from dxnn_ocr_cpp_spark.schemas import SEGMENT_RESULT
+from dxnn_ocr_cpp_spark.schemas import SEGMENT_RESULT, SEGMENT_RESULT_SLIM
 
 
-def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
-    """Per-document segmentation -> plain dict matching SEGMENT_RESULT.
-    Exposed separately so unit tests and goldens exercise the exact
-    production code path without a JVM."""
+def _is_boiler_path(tag_path: str, boiler_ancestors) -> bool:
+    """The boiler-ancestor predicate, computed ONCE Python-side: any
+    path segment's tag (before its '[n]' index) is a boiler ancestor.
+    Single source of truth for the slim hot path, extract_python, and
+    (semantically) score.py's tag_path regex on the full-schema path —
+    pinned equal by tests/test_pipeline_spark.py parity."""
+    return any(p.split("[", 1)[0] in boiler_ancestors
+               for p in tag_path.split("/"))
+
+
+def segment_one(raw: bytes | None, cfg: ExtractionConfig,
+                slim: bool = False) -> dict:
+    """Per-document segmentation -> plain dict matching SEGMENT_RESULT
+    (slim=True: SEGMENT_RESULT_SLIM — tag_path replaced by its 1-byte
+    `boiler` verdict, n_tags dropped; the Arrow-boundary diet the
+    schema comment in schemas.py quantifies). Exposed separately so
+    unit tests and goldens exercise the exact production code path
+    without a JVM."""
     res = segment_html(raw, cfg.max_candidates, cfg.max_html_bytes,
                        cfg.sniff_bytes, engine=cfg.parser_engine)
     blocks = []
@@ -43,17 +57,22 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
         # space, so non-ws chars = len - spaces (== sum of split lens,
         # without the list allocation)
         n_text = len(t) - t.count(" ")
-        blocks.append({
+        rec = {
             "block_id": b.block_id,
             "tag": b.tag,
-            "tag_path": b.tag_path,
             "depth": b.depth,
             "pos": b.pos,
             "text": t,
             "n_text_chars": n_text,
             "n_link_chars": min(b.n_link_chars, n_text),
-            "n_tags": b.n_tags,
-        })
+        }
+        if slim:
+            rec["boiler"] = _is_boiler_path(b.tag_path,
+                                            cfg.boiler_ancestors)
+        else:
+            rec["tag_path"] = b.tag_path
+            rec["n_tags"] = b.n_tags
+        blocks.append(rec)
     return {
         "blocks": blocks,
         "n_candidates": res.n_candidates,
@@ -63,22 +82,26 @@ def segment_one(raw: bytes | None, cfg: ExtractionConfig) -> dict:
     }
 
 
-def make_segment_udf(cfg: ExtractionConfig = DEFAULT_CONFIG):
+def make_segment_udf(cfg: ExtractionConfig = DEFAULT_CONFIG,
+                     slim: bool = False):
     """Build the stage-1 pandas UDF closed over per-run config (the
     OCRTaskConfig flow, ref ocr_pipeline.cpp:457-461 — params travel
     with the task, not with engine construction)."""
+    schema = SEGMENT_RESULT_SLIM if slim else SEGMENT_RESULT
 
-    @F.pandas_udf(SEGMENT_RESULT)
+    @F.pandas_udf(schema)
     def segment_udf(html: pd.Series) -> pd.DataFrame:
-        out = [segment_one(raw, cfg) for raw in html]
+        out = [segment_one(raw, cfg, slim=slim) for raw in html]
         return pd.DataFrame(out)
 
     return segment_udf
 
 
 def with_blocks(df, cfg: ExtractionConfig = DEFAULT_CONFIG,
-                html_col: str = "html", out_col: str = "seg"):
+                html_col: str = "html", out_col: str = "seg",
+                slim: bool = False):
     """df + seg struct column. Keeps the pre-UDF projection minimal so
     parquet/Iceberg scans prune to (url, html) — the pushdown the
     reference never had (X12)."""
-    return df.withColumn(out_col, make_segment_udf(cfg)(F.col(html_col)))
+    return df.withColumn(
+        out_col, make_segment_udf(cfg, slim=slim)(F.col(html_col)))
