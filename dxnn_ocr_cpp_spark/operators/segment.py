@@ -15,6 +15,8 @@ does) — the backpressure analog of the reference's bounded queues
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -24,14 +26,27 @@ from dxnn_ocr_cpp_spark.htmlseg import normalize_text, segment_html
 from dxnn_ocr_cpp_spark.schemas import SEGMENT_RESULT, SEGMENT_RESULT_SLIM
 
 
+@functools.lru_cache(maxsize=8)
+def _boiler_re(boiler_ancestors: tuple):
+    """Compiled form of the boiler-ancestor predicate — one C-level
+    scan per block instead of a per-segment split/membership loop
+    (profiled at ~10% of the whole kernel on the bench corpus).
+    Same pattern shape as score._boiler_path_regex: a path segment is
+    'tag[n]', so a boiler tag is always followed by '[' and preceded
+    by start-of-string or '/'."""
+    import re
+    alts = "|".join(re.escape(t) for t in boiler_ancestors)
+    return re.compile(f"(?:^|/)(?:{alts})\\[")
+
+
 def _is_boiler_path(tag_path: str, boiler_ancestors) -> bool:
     """The boiler-ancestor predicate, computed ONCE Python-side: any
     path segment's tag (before its '[n]' index) is a boiler ancestor.
     Single source of truth for the slim hot path, extract_python, and
     (semantically) score.py's tag_path regex on the full-schema path —
     pinned equal by tests/test_pipeline_spark.py parity."""
-    return any(p.split("[", 1)[0] in boiler_ancestors
-               for p in tag_path.split("/"))
+    return _boiler_re(tuple(boiler_ancestors)) \
+        .search(tag_path) is not None
 
 
 def segment_one(raw: bytes | None, cfg: ExtractionConfig,
